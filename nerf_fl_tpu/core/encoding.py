@@ -1,0 +1,95 @@
+"""Sinusoidal positional encoding with optional BARF coarse-to-fine annealing.
+
+Semantics follow reference models/nerf.py:6-77.  The reference builds the
+embedding with a Python loop ``[x] + [sin(f x), cos(f x) for f in freqs]``;
+here the whole encoding is one vectorized outer product so XLA sees a single
+fused elementwise program, and the channel *order* matches the reference
+exactly: ``[x, sin(f0 x), cos(f0 x), sin(f1 x), cos(f1 x), ...]`` where each
+sin/cos block spans the 3 input channels.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+PI = float(np.pi)
+
+
+def posenc_freqs(max_logscale: int, N_freqs: int, logscale: bool = True) -> np.ndarray:
+    """Frequency ladder. Matches reference nerf.py:14-17."""
+    if logscale:
+        return 2.0 ** np.linspace(0, max_logscale, N_freqs, dtype=np.float64)
+    return np.linspace(1, 2.0 ** max_logscale, N_freqs, dtype=np.float64)
+
+
+def posenc(x: jnp.ndarray, N_freqs: int, *, max_logscale: int | None = None,
+           logscale: bool = True, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Embed ``x`` (..., C) -> (..., C * (1 + 2*N_freqs)).
+
+    ``weights`` (N_freqs,) optionally scales each frequency's sin/cos block —
+    this is the BARF annealing hook (reference nerf.py:61-77 multiplies each
+    block by a per-frequency weight, identity channels left untouched).
+    """
+    if max_logscale is None:
+        max_logscale = N_freqs - 1
+    freqs = jnp.asarray(posenc_freqs(max_logscale, N_freqs, logscale), x.dtype)
+    # (..., 1, C) * (F, 1) -> (..., F, C)
+    xb = x[..., None, :] * freqs[:, None]
+    sin, cos = jnp.sin(xb), jnp.cos(xb)
+    if weights is not None:
+        w = weights.astype(x.dtype)[:, None]
+        sin, cos = sin * w, cos * w
+    # interleave per-frequency [sin_f, cos_f] blocks, each of width C
+    sc = jnp.concatenate([sin[..., None, :], cos[..., None, :]], axis=-2)
+    sc = sc.reshape(*x.shape[:-1], 2 * N_freqs * x.shape[-1])
+    return jnp.concatenate([x, sc], axis=-1)
+
+
+def barf_alpha(epoch, N_freqs: int, epoch_start: int, epoch_end: int):
+    """BARF annealing progress, matching the fork's (unusual) schedule at
+    reference nerf.py:47-52: alpha = N_freqs/epoch inside (start, end],
+    N_freqs after end, 0 before.  ``epoch`` may be a traced scalar."""
+    epoch = jnp.asarray(epoch, jnp.float32)
+    mid = N_freqs / jnp.maximum(epoch, 1e-8)
+    return jnp.where(
+        epoch > epoch_end,
+        float(N_freqs),
+        jnp.where(epoch > epoch_start, mid, 0.0),
+    )
+
+
+def barf_weights(epoch, N_freqs: int, epoch_start: int, epoch_end: int,
+                 *, max_logscale: int | None = None, logscale: bool = True):
+    """Per-frequency annealing weights, matching reference nerf.py:47-59.
+
+    Note the reference compares alpha against the frequency *value* 2^k (not
+    the frequency index) — preserved here.
+    """
+    if max_logscale is None:
+        max_logscale = N_freqs - 1
+    freqs = jnp.asarray(posenc_freqs(max_logscale, N_freqs, logscale), jnp.float32)
+    alpha = barf_alpha(epoch, N_freqs, epoch_start, epoch_end)
+    d = alpha - freqs
+    ramp = (1.0 - jnp.cos(d * PI)) / 2.0
+    return jnp.where(d < 0.0, 0.0, jnp.where(d < 1.0, ramp, 1.0))
+
+
+def embed(x: jnp.ndarray, N_freqs: int, *, barf: bool = False, epoch=None,
+          epoch_start: int = 4, epoch_end: int = 8,
+          max_logscale: int | None = None, logscale: bool = True) -> jnp.ndarray:
+    """PosEmbedding / BarfPosEmbedding forward in one entry point.
+
+    The reference hardcodes BARF epochs (4, 8) at train.py:43-44; they are
+    parameters here with the same defaults.
+    """
+    w = None
+    if barf:
+        if epoch is None:
+            raise ValueError("BARF embedding requires `epoch`")
+        w = barf_weights(epoch, N_freqs, epoch_start, epoch_end,
+                         max_logscale=max_logscale, logscale=logscale)
+    return posenc(x, N_freqs, max_logscale=max_logscale, logscale=logscale, weights=w)
+
+
+def posenc_dim(C: int, N_freqs: int) -> int:
+    return C * (1 + 2 * N_freqs)

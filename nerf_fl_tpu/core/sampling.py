@@ -1,0 +1,104 @@
+"""Depth sampling: stratified coarse samples and inverse-CDF importance
+sampling, in TPU-friendly form.
+
+Semantics follow reference models/rendering.py:7-46 (sample_pdf) and
+:243-259 (stratified sampling), with one structural change: the reference's
+``torch.searchsorted`` (a gather-heavy binary search) is replaced by a
+broadcast comparison-count, which lowers to dense VPU ops on TPU — for the
+small per-ray sample counts of NeRF (64-128) this beats a gather tree.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(rng, near, far, N_samples: int, *, use_disp: bool = False,
+                      perturb: float = 0.0):
+    """Coarse depth samples per ray (reference rendering.py:243-259).
+
+    Args:
+      rng: PRNG key (used only when perturb > 0; may be None otherwise).
+      near, far: (N_rays, 1).
+      N_samples: static sample count.
+      use_disp: linear in disparity instead of depth.
+      perturb: jitter magnitude (reference --perturb flag).
+
+    Returns:
+      z_vals: (N_rays, N_samples).
+    """
+    N_rays = near.shape[0]
+    z_steps = jnp.linspace(0.0, 1.0, N_samples, dtype=near.dtype)
+    if not use_disp:
+        z_vals = near * (1.0 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (N_rays, N_samples))
+
+    if perturb > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([z_mid, z_vals[:, -1:]], -1)
+        lower = jnp.concatenate([z_vals[:, :1], z_mid], -1)
+        u = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * (perturb * u)
+    return z_vals
+
+
+def searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``searchsorted(..., right=True)`` as a comparison-count.
+
+    For each row, returns the number of elements of ``sorted_seq`` that are
+    <= the query — identical to torch.searchsorted(right=True) on sorted
+    input.  Dense O(S * Q) compares vectorize perfectly on the VPU.
+
+    Args:
+      sorted_seq: (N, S) row-sorted.
+      values: (N, Q) queries.
+
+    Returns:
+      (N, Q) int32 insertion indices in [0, S].
+    """
+    le = sorted_seq[:, None, :] <= values[:, :, None]  # (N, Q, S)
+    return jnp.sum(le.astype(jnp.int32), axis=-1)
+
+
+def sample_pdf(rng, bins: jnp.ndarray, weights: jnp.ndarray, N_importance: int,
+               det: bool = False, eps: float = 1e-5) -> jnp.ndarray:
+    """Inverse-CDF importance sampling (reference rendering.py:7-46).
+
+    Args:
+      rng: PRNG key for the uniform draws (unused when det=True).
+      bins: (N_rays, S+1) bin edges (coarse z midpoints).
+      weights: (N_rays, S) coarse weights (pass through stop_gradient at the
+        call site — reference detaches at rendering.py:269-271).
+      N_importance: number of fine samples.
+      det: deterministic (linspace) u's — reference uses det=(perturb == 0).
+      eps: zero-weight-bin guard (reference rendering.py:20,41-43).
+
+    Returns:
+      samples: (N_rays, N_importance).
+    """
+    N_rays, S = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (N, S+1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, N_importance, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (N_rays, N_importance))
+    else:
+        u = jax.random.uniform(rng, (N_rays, N_importance), dtype=bins.dtype)
+
+    inds = searchsorted_right(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, S)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bins never sampled
+    return bin_lo + (u - cdf_lo) / denom * (bin_hi - bin_lo)

@@ -1,0 +1,104 @@
+"""Checkpoint save/load with per-submodule addressing.
+
+The reference stores Lightning dicts and does name-prefix surgery at load
+time (utils/__init__.py:67-88: strip '{model_name}.', honor
+prefixes_to_ignore, non-strict load); eval.py:131-152 loads each submodule by
+name.  Here the training state is a pytree whose top-level keys ARE the
+submodule names ('nerf_coarse', 'nerf_fine', 'embedding_a', 'embedding_t',
+'learn_poses'), serialized to a single msgpack file via flax.serialization —
+so "surgery" is a dict lookup, and the same flat-name filtering semantics are
+provided for tooling parity.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None,
+                    epoch: int = 0, global_step: int = 0,
+                    extra: Optional[Dict] = None) -> None:
+    """Write a single-file msgpack checkpoint."""
+    state = {
+        "state_dict": _to_host(params),
+        "epoch": epoch,
+        "global_step": global_step,
+    }
+    if opt_state is not None:
+        state["opt_state"] = serialization.to_state_dict(_to_host(opt_state))
+    if extra:
+        state["extra"] = extra
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(state))
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}." if not prefix else f"{prefix}{k}."))
+        return out
+    if isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+        return out
+    out[prefix[:-1]] = tree
+    return out
+
+
+def extract_model_state_dict(ckpt_path: str, model_name: str = "model",
+                             prefixes_to_ignore: Sequence[str] = ()) -> Dict:
+    """Flat {dotted_name: array} for one submodule, with prefix filtering —
+    the semantics of reference utils/__init__.py:67-82."""
+    ckpt = load_checkpoint(ckpt_path)
+    sd = ckpt.get("state_dict", ckpt)
+    if model_name not in sd:
+        return {}
+    flat = _flatten(sd[model_name])
+    out = {}
+    for k, v in flat.items():
+        if any(k.startswith(p) for p in prefixes_to_ignore):
+            print("ignore", k)
+            continue
+        out[k] = v
+    return out
+
+
+def load_ckpt(params_sub: Any, ckpt_path: str, model_name: str = "model",
+              prefixes_to_ignore: Sequence[str] = ()) -> Any:
+    """Non-strict submodule load: leaves present in the checkpoint replace the
+    corresponding leaves of ``params_sub``; missing leaves keep their values
+    (reference load_ckpt, utils/__init__.py:84-88)."""
+    wanted = extract_model_state_dict(ckpt_path, model_name, prefixes_to_ignore)
+    if not wanted:
+        return params_sub
+
+    def path_name(path) -> str:
+        return ".".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+
+    def replace(path, leaf):
+        name = path_name(path)
+        if name in wanted:
+            arr = np.asarray(wanted[name])
+            if arr.shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch for {model_name}.{name}: "
+                    f"ckpt {arr.shape} vs model {leaf.shape}")
+            return arr.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(replace, params_sub)

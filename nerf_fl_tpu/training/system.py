@@ -1,0 +1,361 @@
+"""NeRFSystem: model assembly, the jitted SPMD train step, chunked rendering,
+and the train/val loop.
+
+This is the L4 layer (reference train.py:33-241), restructured TPU-first:
+
+  * ONE compiled train step serves the entire run: the LR schedule enters as
+    a traced scalar, the BARF epoch as a traced scalar, and RNG as explicit
+    keys — nothing recompiles across epochs.
+  * Pose refinement is inside the step: per-ray c2w gathers from the learned
+    pose table (batched exp-map), instead of the reference's Python dict of
+    per-camera 4x4s rebuilt every step (train.py:86-96).
+  * Distribution is a mesh layout (parallel/mesh.py), not a DDP wrapper: the
+    batch is sharded over 'data', params replicated (or TP-sharded), and XLA
+    inserts the gradient all-reduce over ICI.
+  * Validation/eval renders run through fixed-shape padded chunks so a
+    handful of compiled programs serve any image size.
+
+Fixes fork regressions documented in SURVEY.md section 2.5: world-space rays
+are consumed directly when pose refinement is off (the documented CLI
+semantics), and the camera-direction format is used whenever poses must be
+composed on device.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.rays import get_rays
+from ..data import RayBatcher, dataset_dict
+from ..models import (init_embedding, init_learn_pose, init_nerf, pose_for,
+                      validate_vocab)
+from ..parallel import make_mesh, place_params, shard_batch
+from ..render import RenderConfig, render_rays
+from . import checkpoints
+from .logging import ExperimentLogger, NullLogger
+from .losses import loss_dict
+from .optimizers import (build_optimizer, lr_for_epoch, make_trainable_mask,
+                         mask_updates)
+
+
+# ----------------------------------------------------------------------
+# assembly
+# ----------------------------------------------------------------------
+
+def config_from_hparams(hparams, white_back: bool) -> RenderConfig:
+    return RenderConfig(
+        N_samples=hparams.N_samples,
+        N_importance=hparams.N_importance,
+        use_disp=hparams.use_disp,
+        perturb=hparams.perturb,
+        noise_std=hparams.noise_std,
+        white_back=white_back,
+        N_emb_xyz=hparams.N_emb_xyz,
+        N_emb_dir=hparams.N_emb_dir,
+        encode_a=hparams.encode_a,
+        N_a=hparams.N_a,
+        encode_t=hparams.encode_t,
+        N_tau=hparams.N_tau,
+        beta_min=hparams.beta_min,
+        refine_pose=getattr(hparams, "refine_pose", False),
+        compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+    )
+
+
+def build_params(rng, cfg: RenderConfig, n_vocab: int,
+                 init_poses: Optional[np.ndarray] = None) -> Dict[str, Any]:
+    """Assemble the full parameter pytree (reference train.py:34-76, 134-135).
+
+    Top-level keys are the submodule names used by checkpoint addressing.
+    """
+    keys = jax.random.split(rng, 8)
+    params: Dict[str, Any] = {
+        "nerf_coarse": init_nerf(keys[0], cfg.nerf_config("coarse"))}
+    if cfg.N_importance > 0:
+        params["nerf_fine"] = init_nerf(keys[1], cfg.nerf_config("fine"))
+    if cfg.encode_a:
+        params["embedding_a"] = init_embedding(keys[2], n_vocab, cfg.N_a)
+    if cfg.encode_t:
+        params["embedding_t"] = init_embedding(keys[3], n_vocab, cfg.N_tau)
+    if init_poses is not None:
+        params["learn_poses"] = init_learn_pose(len(init_poses), init_poses)
+    return params
+
+
+def assemble_world_rays(params, rays, ts, *, ray_format: str,
+                        id_to_cam: Optional[jnp.ndarray] = None):
+    """Turn a batch of stored rays into world-space 8-col rays.
+
+    'world':  rays are already [o, d, near, far] — used directly (upstream
+              semantics; the fork recomputed unconditionally, train.py:86-98).
+    'camdir': rays are [cam-frame dir, near, far]; gather the (learned) pose
+              per ray and rotate — the phototourism / BARF path.
+    """
+    if ray_format == "world":
+        return rays
+    ids = ts if id_to_cam is None else jnp.take(id_to_cam, ts, axis=0)
+    c2ws = pose_for(params["learn_poses"], ids)[:, :3, :]
+    rays_o, rays_d = get_rays(rays[:, :3], c2ws)
+    return jnp.concatenate([rays_o, rays_d, rays[:, 3:5]], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# jitted step factories
+# ----------------------------------------------------------------------
+
+def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
+                    loss_name: str = "nerfw", ray_format: str = "world",
+                    id_to_cam: Optional[np.ndarray] = None,
+                    donate: bool = True):
+    """Build the single jitted SPMD train step."""
+    loss_fn_named = loss_dict[loss_name]
+    typ = "fine" if cfg.N_importance > 0 else "coarse"
+    idmap = None if id_to_cam is None else jnp.asarray(id_to_cam, jnp.int32)
+
+    def step(params, opt_state, batch, lr, epoch, rng):
+        def loss_of(p):
+            rays8 = assemble_world_rays(p, batch["rays"], batch["ts"],
+                                        ray_format=ray_format, id_to_cam=idmap)
+            results = render_rays(p, rays8, batch["ts"], rng, cfg, epoch=epoch)
+            loss_d = loss_fn_named(results, batch["rgbs"])
+            return sum(loss_d.values()), (loss_d, results)
+
+        (loss, (loss_d, results)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        grads = mask_updates(grads, trainable_mask)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = mask_updates(updates, trainable_mask)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        rgb = results[f"rgb_{typ}"]
+        psnr = -10.0 * jnp.log10(jnp.mean((rgb - batch["rgbs"]) ** 2))
+        metrics = {"train/loss": loss, "train/psnr": psnr}
+        for k, v in loss_d.items():
+            metrics[f"train/{k}"] = v
+        return new_params, new_opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool):
+    def run(params, rays, ts, rng, epoch):
+        return render_rays(params, rays, ts, rng, cfg, epoch=epoch,
+                           test_time=test_time,
+                           output_transient=output_transient)
+    return jax.jit(run)
+
+
+def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
+                   cfg: RenderConfig, *, chunk: int = 32 * 1024,
+                   test_time: bool = True, output_transient: bool = True,
+                   epoch: float = 0.0, rng=None) -> Dict[str, np.ndarray]:
+    """Render arbitrarily many rays through fixed-shape compiled chunks.
+
+    The reference chunks to avoid OOM (eval.py:80-110); here chunking also
+    pins a single compiled program per chunk shape.  The tail chunk is padded
+    (edge-replicated) and trimmed after.
+    """
+    n = len(rays)
+    fn = _jitted_render(cfg, test_time, output_transient)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    epoch = jnp.float32(epoch)
+
+    outs = defaultdict(list)
+    for i in range(0, n, chunk):
+        r = rays[i:i + chunk]
+        t = ts[i:i + chunk]
+        pad = chunk - len(r)
+        if pad > 0 and n > chunk:
+            r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
+            t = np.concatenate([t, np.repeat(t[-1:], pad, 0)], 0)
+        elif pad > 0:
+            pass  # single short batch: compile at its natural size
+        res = fn(params, jnp.asarray(r), jnp.asarray(t),
+                 jax.random.fold_in(rng, i), epoch)
+        res = jax.device_get(res)
+        for k, v in res.items():
+            outs[k].append(v[:len(rays[i:i + chunk])] if pad > 0 else v)
+    return {k: np.concatenate(v, 0) for k, v in outs.items()}
+
+
+# ----------------------------------------------------------------------
+# the system
+# ----------------------------------------------------------------------
+
+class NeRFSystem:
+    """End-to-end training orchestration (reference NeRFSystem,
+    train.py:33-210)."""
+
+    def __init__(self, hparams, logger: Optional[ExperimentLogger] = None):
+        self.hparams = hparams
+        self.logger = logger
+        self.loss_name = "nerfw"
+        self.global_step = 0
+        self.start_epoch = 0
+
+    # -- datasets ------------------------------------------------------
+    def setup(self):
+        h = self.hparams
+        kwargs = {"root_dir": h.root_dir}
+        if h.dataset_name == "phototourism":
+            kwargs["img_downscale"] = h.img_downscale
+            kwargs["val_num"] = h.num_gpus
+            kwargs["use_cache"] = h.use_cache
+            kwargs["refine_pose"] = h.refine_pose
+        elif h.dataset_name == "blender":
+            kwargs["img_wh"] = tuple(h.img_wh)
+            kwargs["perturbation"] = h.data_perturb
+            kwargs["refine_pose"] = h.refine_pose
+        self.train_dataset = dataset_dict[h.dataset_name](split="train", **kwargs)
+        self.val_dataset = dataset_dict[h.dataset_name](split="val", **kwargs)
+
+        self.cfg = config_from_hparams(h, self.train_dataset.white_back)
+        self.ray_format = getattr(self.train_dataset, "ray_format", "world")
+
+        max_id = int(np.max(self.train_dataset.all_ts))
+        if self.cfg.encode_a or self.cfg.encode_t:
+            validate_vocab(h.N_vocab, max_id)
+
+        # learned poses: indexed by image order; id -> index map for sparse ids
+        poses = np.asarray(self.train_dataset.poses, np.float32)
+        init_c2w = np.concatenate(
+            [poses, np.tile(np.array([[[0, 0, 0, 1]]], np.float32),
+                            (len(poses), 1, 1))], axis=1)
+        self.init_poses = init_c2w
+        ids = getattr(self.train_dataset, "img_ids", list(range(len(poses))))
+        self.id_to_cam = None
+        if list(ids) != list(range(len(poses))):
+            idmap = np.zeros(max(max(ids), max_id) + 1, np.int32)
+            for i, id_ in enumerate(ids):
+                idmap[id_] = i
+            self.id_to_cam = idmap
+
+        self.batcher = RayBatcher(
+            self.train_dataset.all_rays, self.train_dataset.all_ts,
+            self.train_dataset.all_rgbs, h.batch_size,
+            seed=getattr(h, "seed", 0))
+
+    # -- state ---------------------------------------------------------
+    def configure(self):
+        h = self.hparams
+        rng = jax.random.PRNGKey(getattr(h, "seed", 0))
+        needs_poses = self.ray_format == "camdir" or h.refine_pose
+        self.params = build_params(
+            rng, self.cfg, h.N_vocab,
+            init_poses=self.init_poses if needs_poses else None)
+        self.mask = make_trainable_mask(self.params, h.refine_pose)
+        self.tx = build_optimizer(h)
+        self.opt_state = self.tx.init(self.params)
+
+        if getattr(h, "ckpt_path", None):
+            self.restore(h.ckpt_path)
+
+        self.mesh = make_mesh(num_model=getattr(h, "model_parallel", 1))
+        self.params = place_params(
+            self.mesh, self.params,
+            model_parallel=getattr(h, "model_parallel", 1) > 1)
+        self.train_step = make_train_step(
+            self.cfg, self.tx, self.mask, loss_name=self.loss_name,
+            ray_format=self.ray_format, id_to_cam=self.id_to_cam)
+
+    def restore(self, path: str):
+        ckpt = checkpoints.load_checkpoint(path)
+        from flax import serialization
+        self.params = serialization.from_state_dict(
+            self.params, ckpt["state_dict"])
+        if "opt_state" in ckpt:
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, ckpt["opt_state"])
+        self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+        self.global_step = int(ckpt.get("global_step", 0))
+        print(f"[ckpt] restored {path} (resume at epoch {self.start_epoch})")
+
+    # -- validation ----------------------------------------------------
+    def run_validation(self, epoch: int, max_images: Optional[int] = None):
+        h = self.hparams
+        n = len(self.val_dataset)
+        if max_images is not None:
+            n = min(n, max_images)
+        losses, psnrs = [], []
+        first_viz = None
+        for i in range(n):
+            sample = self.val_dataset[i]
+            rays, ts, rgbs = sample["rays"], sample["ts"], sample["rgbs"]
+            res = render_chunked(
+                self.params, rays, ts, self.cfg, chunk=h.chunk,
+                test_time=False, epoch=float(epoch),
+                rng=jax.random.PRNGKey(1000 + i))
+            typ = "fine" if "rgb_fine" in res else "coarse"
+            loss_d = loss_dict[self.loss_name](res, rgbs)
+            losses.append(float(sum(np.asarray(v) for v in loss_d.values())))
+            mse = np.mean((res[f"rgb_{typ}"] - rgbs) ** 2)
+            psnrs.append(-10.0 * np.log10(mse))
+            if i == 0:
+                if "img_wh" in sample:
+                    W, H = (int(x) for x in sample["img_wh"])
+                else:
+                    W, H = h.img_wh
+                from ..utils.visualization import visualize_depth
+                img = res[f"rgb_{typ}"].reshape(H, W, 3).transpose(2, 0, 1)
+                gt = rgbs.reshape(H, W, 3).transpose(2, 0, 1)
+                depth = visualize_depth(res[f"depth_{typ}"].reshape(H, W))
+                first_viz = np.stack([gt, np.clip(img, 0, 1), depth])
+        return float(np.mean(losses)), float(np.mean(psnrs)), first_viz
+
+    # -- the loop ------------------------------------------------------
+    def fit(self):
+        h = self.hparams
+        if self.logger is None:
+            self.logger = ExperimentLogger("logs", h.exp_name)
+        ckpt_dir = os.path.join(h.save_path, h.exp_name)
+        base_rng = jax.random.PRNGKey(getattr(h, "seed", 0) + 1234)
+
+        # sanity val (Lightning num_sanity_val_steps=1, train.py:237)
+        if getattr(h, "num_sanity_val_steps", 1) > 0:
+            self.run_validation(self.start_epoch, max_images=1)
+
+        for epoch in range(self.start_epoch, h.num_epochs):
+            lr = lr_for_epoch(h, epoch)
+            lr_j = jnp.float32(lr)
+            ep_j = jnp.float32(epoch)
+            t0, n_rays = time.time(), 0
+            for batch in self.batcher.epoch(epoch):
+                batch = shard_batch(self.mesh, batch)
+                rng = jax.random.fold_in(base_rng, self.global_step)
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, batch, lr_j, ep_j, rng)
+                n_rays += h.batch_size
+                if self.global_step % getattr(h, "log_every", 50) == 0:
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
+                    m["lr"] = lr
+                    dt = time.time() - t0
+                    if dt > 0:
+                        m["train/rays_per_sec"] = n_rays / dt
+                    self.logger.scalars(m, self.global_step)
+                self.global_step += 1
+
+            val_loss, val_psnr, viz = self.run_validation(epoch + 1)
+            self.logger.scalars(
+                {"val/loss": val_loss, "val/psnr": val_psnr}, self.global_step)
+            if viz is not None:
+                self.logger.images("val/GT_pred_depth", viz, self.global_step)
+            print(f"epoch {epoch}: lr={lr:.3e} val/loss={val_loss:.4f} "
+                  f"val/psnr={val_psnr:.2f}")
+
+            checkpoints.save_checkpoint(
+                os.path.join(ckpt_dir, f"epoch={epoch}.ckpt"),
+                self.params, self.opt_state, epoch=epoch,
+                global_step=self.global_step)
+        self.logger.close()

@@ -1,0 +1,172 @@
+"""Synthetic test fixtures: a miniature Blender-format scene and a miniature
+COLMAP binary reconstruction, built from scratch (no reference data)."""
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+from PIL import Image
+
+
+def _look_at_pose(theta: float, radius: float = 4.0, height: float = 1.0):
+    """Camera on a circle looking at the origin, OpenGL convention
+    (right/up/back): -z is the viewing direction."""
+    eye = np.array([radius * np.cos(theta), radius * np.sin(theta), height])
+    forward = -eye / np.linalg.norm(eye)          # toward origin
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, forward)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = up
+    c2w[:3, 2] = -forward                          # back
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _render_ball(size: int, c2w: np.ndarray, focal: float) -> np.ndarray:
+    """Analytic RGBA render of a unit ball at the origin — enough structure
+    for loss-goes-down tests."""
+    i, j = np.meshgrid(np.arange(size), np.arange(size), indexing="xy")
+    dirs = np.stack([(i - size / 2) / focal, -(j - size / 2) / focal,
+                     -np.ones_like(i)], -1).astype(np.float64)
+    rd = dirs @ c2w[:3, :3].T
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = c2w[:3, 3]
+    b = 2 * np.sum(rd * ro, -1)
+    c = np.sum(ro * ro) - 1.0
+    disc = b * b - 4 * c
+    hit = disc > 0
+    t = (-b - np.sqrt(np.maximum(disc, 0))) / 2
+    p = ro + rd * t[..., None]
+    color = np.clip(0.5 + 0.5 * p, 0, 1)
+    img = np.zeros((size, size, 4))
+    img[hit, :3] = color[hit]
+    img[hit, 3] = 1.0
+    return (img * 255).astype(np.uint8)
+
+
+def make_blender_scene(root: str, n_train: int = 4, n_val: int = 2,
+                       n_test: int = 2, size: int = 40,
+                       camera_angle_x: float = 0.8) -> None:
+    focal = 0.5 * size / np.tan(0.5 * camera_angle_x)
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    k = 0
+    for split, n in counts.items():
+        frames = []
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        for idx in range(n):
+            theta = 2 * np.pi * (k * 0.37 % 1.0)
+            k += 1
+            c2w = _look_at_pose(theta)
+            img = _render_ball(size, c2w, focal)
+            rel = f"./{split}/r_{idx}"
+            Image.fromarray(img).save(os.path.join(root, f"{rel}.png"))
+            frames.append({"file_path": rel,
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+
+# ----------------------------------------------------------------------
+# COLMAP binary writers (inverse of the parsers; used to build fixtures)
+# ----------------------------------------------------------------------
+
+def write_cameras_binary(cameras: dict, path: str) -> None:
+    """cameras: {id: dict(model_id, width, height, params)}"""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cid, cam in cameras.items():
+            f.write(struct.pack("<iiQQ", cid, cam["model_id"],
+                                cam["width"], cam["height"]))
+            f.write(struct.pack("<" + "d" * len(cam["params"]), *cam["params"]))
+
+
+def write_images_binary(images: dict, path: str) -> None:
+    """images: {id: dict(qvec(4), tvec(3), camera_id, name, xys(N,2),
+    point3D_ids(N,))}"""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for iid, im in images.items():
+            f.write(struct.pack("<idddddddi", iid, *im["qvec"], *im["tvec"],
+                                im["camera_id"]))
+            f.write(im["name"].encode() + b"\x00")
+            n = len(im["point3D_ids"])
+            f.write(struct.pack("<Q", n))
+            for (x, y), pid in zip(im["xys"], im["point3D_ids"]):
+                f.write(struct.pack("<ddq", x, y, pid))
+
+
+def write_points3d_binary(points: dict, path: str) -> None:
+    """points: {id: dict(xyz(3), rgb(3), error, image_ids(N,),
+    point2D_idxs(N,))}"""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(points)))
+        for pid, pt in points.items():
+            f.write(struct.pack("<QdddBBBd", pid, *pt["xyz"],
+                                *[int(v) for v in pt["rgb"]], pt["error"]))
+            n = len(pt["image_ids"])
+            f.write(struct.pack("<Q", n))
+            for im, p2 in zip(pt["image_ids"], pt["point2D_idxs"]):
+                f.write(struct.pack("<ii", im, p2))
+
+
+def make_phototourism_scene(root: str, n_images: int = 5, size: int = 32,
+                            n_points: int = 200, seed: int = 0) -> None:
+    """Miniature phototourism root: dense/sparse COLMAP binaries, images,
+    and the scene tsv."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "dense/sparse"), exist_ok=True)
+    os.makedirs(os.path.join(root, "dense/images"), exist_ok=True)
+
+    focal = size * 1.2
+    cameras = {1: {"model_id": 2, "width": size, "height": size,
+                   "params": [focal, size / 2, size / 2, 0.0]}}  # SIMPLE_RADIAL
+    write_cameras_binary(cameras,
+                         os.path.join(root, "dense/sparse/cameras.bin"))
+
+    images, rows = {}, []
+    # image ids deliberately sparse/non-contiguous (reference relies on
+    # images.bin ids, not the tsv 'id' column)
+    ids = [3, 7, 11, 15, 19, 23, 27, 31][:n_images]
+    for n, iid in enumerate(ids):
+        theta = 2 * np.pi * n / n_images
+        c2w = _look_at_pose(theta, radius=6.0)
+        # COLMAP stores w2c, "right down front" convention; our pose builder
+        # is "right up back" — flip y/z axes then invert.
+        c2w_cv = c2w.copy()
+        c2w_cv[:3, 1:3] *= -1
+        w2c = np.linalg.inv(c2w_cv)
+        R, t = w2c[:3, :3], w2c[:3, 3]
+        # rotmat -> quaternion (w, x, y, z)
+        tr = np.trace(R)
+        w = np.sqrt(max(0.0, 1 + tr)) / 2
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+        name = f"img_{n:03d}.jpg"
+        img = _render_ball(size, c2w, focal)[..., :3]
+        Image.fromarray(img).save(os.path.join(root, "dense/images", name))
+        images[iid] = {"qvec": [w, x, y, z], "tvec": t.tolist(),
+                       "camera_id": 1, "name": name,
+                       "xys": [], "point3D_ids": []}
+        split = "test" if n == n_images - 1 else "train"
+        rows.append((name, iid, split, "minitour"))
+    write_images_binary(images, os.path.join(root, "dense/sparse/images.bin"))
+
+    pts = {}
+    xyz = rng.normal(0, 0.5, (n_points, 3))
+    for i in range(n_points):
+        pts[i + 1] = {"xyz": xyz[i].tolist(),
+                      "rgb": rng.integers(0, 255, 3).tolist(),
+                      "error": 0.5, "image_ids": [ids[0]],
+                      "point2D_idxs": [0]}
+    write_points3d_binary(pts, os.path.join(root, "dense/sparse/points3D.bin"))
+
+    with open(os.path.join(root, "minitour.tsv"), "w") as f:
+        f.write("filename\tid\tsplit\tdataset\n")
+        for name, iid, split, ds in rows:
+            f.write(f"{name}\t{iid}\t{split}\t{ds}\n")
