@@ -29,13 +29,19 @@ def exp_so3(r: jnp.ndarray) -> jnp.ndarray:
     regularization at the origin.
     """
     skew = vec2skew(r)
-    norm = jnp.linalg.norm(r, axis=-1, keepdims=True)[..., None] + 1e-15
+    # Pose deltas INIT at exactly zero, and sin(x)/x, (1-cos(x))/x^2 have
+    # removable singularities there whose naive autodiff is NaN.  Standard
+    # double-where guard: small-angle branch uses Taylor forms, and the large
+    # branch divides by a value clamped away from zero so neither branch's
+    # gradient can produce NaN.
+    sq = jnp.sum(r * r, axis=-1, keepdims=True)[..., None]
+    small = sq < 1e-9
+    safe_sq = jnp.where(small, 1.0, sq)
+    norm = jnp.sqrt(safe_sq)
+    A = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(norm) / norm)
+    B = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(norm)) / safe_sq)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), skew.shape)
-    return (
-        eye
-        + (jnp.sin(norm) / norm) * skew
-        + ((1.0 - jnp.cos(norm)) / norm**2) * (skew @ skew)
-    )
+    return eye + A * skew + B * (skew @ skew)
 
 
 def make_c2w(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -28,7 +28,7 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     extra: Optional[Dict] = None) -> None:
     """Write a single-file msgpack checkpoint."""
     state = {
-        "state_dict": _to_host(params),
+        "state_dict": serialization.to_state_dict(_to_host(params)),
         "epoch": epoch,
         "global_step": global_step,
     }
