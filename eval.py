@@ -1,0 +1,185 @@
+"""Evaluation / test-sequence rendering CLI (reference eval.py semantics).
+
+Renders a whole split frame by frame through the fixed-shape chunked
+renderer (test_time=True, perturb=0, noise_std=0), writes per-frame PNGs,
+a gif/mp4 at 30 fps, and the mean PSNR when ground truth exists.
+
+Improvement over the reference (SURVEY.md section 2.5.3): --refine_pose is
+supported at eval — learned pose deltas are loaded from the checkpoint and
+composed onto the dataset poses when rendering train-pose-based splits.
+"""
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def get_opts(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True,
+                        help='root directory of dataset')
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'phototourism'],
+                        help='which dataset to validate')
+    parser.add_argument('--scene_name', type=str, default='test',
+                        help='scene name, used as output folder name')
+    parser.add_argument('--split', type=str, default='val',
+                        choices=['val', 'test', 'test_train'])
+    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
+                        help='resolution (img_w, img_h) of the image')
+    parser.add_argument('--img_downscale', type=int, default=1,
+                        help='how much to downscale the images for phototourism dataset')
+    parser.add_argument('--use_cache', default=False, action="store_true",
+                        help='whether to use ray cache (make sure img_downscale is the same)')
+
+    parser.add_argument('--N_emb_xyz', type=int, default=10)
+    parser.add_argument('--N_emb_dir', type=int, default=4)
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=128)
+    parser.add_argument('--use_disp', default=False, action="store_true")
+
+    parser.add_argument('--N_vocab', type=int, default=100)
+    parser.add_argument('--encode_a', default=False, action="store_true")
+    parser.add_argument('--N_a', type=int, default=48)
+    parser.add_argument('--encode_t', default=False, action="store_true")
+    parser.add_argument('--N_tau', type=int, default=16)
+    parser.add_argument('--beta_min', type=float, default=0.1)
+    parser.add_argument('--refine_pose', default=False, action="store_true",
+                        help='apply learned pose deltas from the checkpoint')
+
+    parser.add_argument('--chunk', type=int, default=32 * 1024 * 4)
+    parser.add_argument('--ckpt_path', type=str, required=True)
+    parser.add_argument('--video_format', type=str, default='gif',
+                        choices=['gif', 'mp4'])
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'])
+    parser.add_argument('--save_depth', default=False, action="store_true",
+                        help='also save depth maps as PFM')
+    return parser.parse_args(argv)
+
+
+def build_eval_state(args):
+    """Params + config rebuilt from flags, each submodule loaded by name
+    (reference eval.py:126-154)."""
+    import jax
+    from nerf_fl_tpu.render import RenderConfig
+    from nerf_fl_tpu.training import checkpoints
+    from nerf_fl_tpu.training.system import build_params
+
+    cfg = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        use_disp=args.use_disp, perturb=0.0, noise_std=0.0,
+        N_emb_xyz=args.N_emb_xyz, N_emb_dir=args.N_emb_dir,
+        encode_a=args.encode_a, N_a=args.N_a,
+        encode_t=args.encode_t, N_tau=args.N_tau,
+        beta_min=args.beta_min, compute_dtype=args.compute_dtype)
+
+    params = build_params(jax.random.PRNGKey(0), cfg, args.N_vocab)
+    for name in list(params):
+        params[name] = checkpoints.load_ckpt(params[name], args.ckpt_path, name)
+    return cfg, params
+
+
+def main(args):
+    import imageio
+    import jax
+    from nerf_fl_tpu.data import dataset_dict
+    from nerf_fl_tpu.training import checkpoints
+    from nerf_fl_tpu.training.metrics import psnr as psnr_fn
+    from nerf_fl_tpu.training.system import render_chunked
+
+    kwargs = {'root_dir': args.root_dir, 'split': args.split}
+    if args.dataset_name == 'blender':
+        kwargs['img_wh'] = tuple(args.img_wh)
+    else:
+        kwargs['img_downscale'] = args.img_downscale
+        kwargs['use_cache'] = args.use_cache
+    dataset = dataset_dict[args.dataset_name](**kwargs)
+    scene = os.path.basename(args.root_dir.strip('/'))
+
+    cfg, params = build_eval_state(args)
+
+    if args.refine_pose:
+        # compose the learned deltas onto the dataset's poses
+        ckpt = checkpoints.load_checkpoint(args.ckpt_path)
+        if 'learn_poses' in ckpt.get('state_dict', {}):
+            from nerf_fl_tpu.models.poses import all_poses
+            lp = jax.tree_util.tree_map(
+                np.asarray, ckpt['state_dict']['learn_poses'])
+            refined = np.asarray(all_poses(lp))[:, :3]
+            dataset.apply_refined_poses(refined)
+
+    render_kwargs = {}
+    if args.dataset_name == 'phototourism' and args.split == 'test':
+        # test camera + dolly path (reference eval.py:162-184)
+        dataset.test_img_w, dataset.test_img_h = args.img_wh
+        dataset.test_focal = dataset.test_img_w / 2 / np.tan(np.pi / 6)
+        dataset.test_K = np.array(
+            [[dataset.test_focal, 0, dataset.test_img_w / 2],
+             [0, dataset.test_focal, dataset.test_img_h / 2],
+             [0, 0, 1]])
+        if scene == 'brandenburg_gate':
+            dataset.test_appearance_idx = 1123  # 85572957_6053497857.jpg
+            N_frames = 30 * 4
+            dx = np.linspace(0, 0.03, N_frames)
+            dy = np.linspace(0, -0.1, N_frames)
+            dz = np.linspace(0, 0.5, N_frames)
+            poses_test = np.tile(dataset.poses_dict[1123], (N_frames, 1, 1))
+            poses_test[:, 0, 3] += dx
+            poses_test[:, 1, 3] += dy
+            poses_test[:, 2, 3] += dz
+            dataset.poses_test = poses_test
+        else:
+            raise NotImplementedError(
+                'test-path poses are hard-coded per scene; only '
+                'brandenburg_gate is defined (reference eval.py:169-183)')
+        render_kwargs['output_transient'] = False
+
+    imgs, psnrs = [], []
+    dir_name = f'results/{args.dataset_name}/{args.scene_name}'
+    os.makedirs(dir_name, exist_ok=True)
+
+    typ = 'fine' if args.N_importance > 0 else 'coarse'
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        results = render_chunked(
+            params, sample['rays'], sample['ts'], cfg, chunk=args.chunk,
+            test_time=True, **render_kwargs)
+
+        if args.dataset_name == 'blender':
+            w, h = args.img_wh
+        else:
+            w, h = (int(x) for x in sample['img_wh'])
+
+        img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+        img_pred_ = (img_pred * 255).astype(np.uint8)
+        imgs.append(img_pred_)
+        imageio.imwrite(os.path.join(dir_name, f'{i:03d}.png'), img_pred_)
+        if args.save_depth:
+            from nerf_fl_tpu.data.pfm import save_pfm
+            save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                     results[f'depth_{typ}'].reshape(h, w).astype(np.float32))
+
+        if 'rgbs' in sample:
+            img_gt = sample['rgbs'].reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(img_gt, img_pred)))
+        print(f'frame {i + 1}/{len(dataset)}', flush=True)
+
+    if args.dataset_name == 'blender' or \
+            (args.dataset_name == 'phototourism' and args.split == 'test'):
+        ext = args.video_format
+        path = os.path.join(dir_name, f'{args.scene_name}.{ext}')
+        if ext == 'gif':
+            imageio.mimsave(path, imgs, fps=30)
+        else:
+            imageio.mimsave(path, imgs, fps=30)
+
+    if psnrs:
+        mean_psnr = np.mean(psnrs)
+        print(f'Mean PSNR : {mean_psnr:.2f}')
+        return mean_psnr
+    return None
+
+
+if __name__ == "__main__":
+    main(get_opts())

@@ -121,6 +121,13 @@ class BlenderDataset:
             np.arange(self.n_images, dtype=np.int32), n_px)
 
     # ------------------------------------------------------------------
+    def apply_refined_poses(self, poses_3x4: np.ndarray) -> None:
+        """Replace per-frame poses with learned/refined ones (used by eval
+        --refine_pose; the reference could not do this, SURVEY.md 2.5.3)."""
+        self.poses = np.asarray(poses_3x4, np.float32)[:, :3, :4]
+        self.poses_dict = {t: self.poses[t] for t in range(len(self.poses))}
+        self._refined = True
+
     def __len__(self):
         if self.split == "train":
             return len(self.all_rays)
@@ -135,7 +142,10 @@ class BlenderDataset:
                     "rgbs": self.all_rgbs[idx]}
 
         frame = self.meta["frames"][idx]
-        c2w = np.asarray(frame["transform_matrix"], np.float32)[:3, :4]
+        if getattr(self, "_refined", False) and idx < len(self.poses):
+            c2w = self.poses[idx]
+        else:
+            c2w = np.asarray(frame["transform_matrix"], np.float32)[:3, :4]
         t = 0  # no perturbation at val/test (blender.py:123)
 
         img = _load_image(

@@ -123,8 +123,10 @@ def make_phototourism_scene(root: str, n_images: int = 5, size: int = 32,
     os.makedirs(os.path.join(root, "dense/images"), exist_ok=True)
 
     focal = size * 1.2
-    cameras = {1: {"model_id": 2, "width": size, "height": size,
-                   "params": [focal, size / 2, size / 2, 0.0]}}  # SIMPLE_RADIAL
+    # PINHOLE [fx, fy, cx, cy] — the layout the K-rescale path assumes
+    # (reference phototourism.py:89-94 indexes params as fx, fy, cx, cy)
+    cameras = {1: {"model_id": 1, "width": size, "height": size,
+                   "params": [focal, focal, size / 2, size / 2]}}
     write_cameras_binary(cameras,
                          os.path.join(root, "dense/sparse/cameras.bin"))
 

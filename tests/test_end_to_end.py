@@ -1,0 +1,120 @@
+"""End-to-end CLI tests: train -> checkpoint -> eval on both dataset
+families (tiny fixtures, CPU)."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import eval as eval_cli
+import train as train_cli
+from opt import get_opts
+from nerf_fl_tpu.training.logging import NullLogger
+from nerf_fl_tpu.training.system import NeRFSystem
+
+from tests.fixtures import make_phototourism_scene
+
+FAST = ['--N_samples', '8', '--N_importance', '8', '--batch_size', '256',
+        '--chunk', '4096', '--noise_std', '0', '--num_epochs', '1',
+        '--lr_scheduler', 'cosine']
+
+
+def run_system(argv):
+    hp = get_opts(argv)
+    system = NeRFSystem(hp, logger=NullLogger())
+    system.setup()
+    system.configure()
+    system.fit()
+    return system
+
+
+def test_blender_train_eval_roundtrip(blender_scene, tmp_path):
+    save = str(tmp_path / "ckpts")
+    run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                '--img_wh', '40', '40', '--encode_a', '--encode_t',
+                '--N_vocab', '8', '--exp_name', 'e2e', '--save_path', save]
+               + FAST)
+    ckpts = glob.glob(os.path.join(save, 'e2e', '*.ckpt'))
+    assert len(ckpts) == 1
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        mean_psnr = eval_cli.main(eval_cli.get_opts(
+            ['--root_dir', blender_scene, '--dataset_name', 'blender',
+             '--scene_name', 'e2e_eval', '--split', 'val',
+             '--img_wh', '40', '40', '--N_samples', '8',
+             '--N_importance', '8', '--N_vocab', '8', '--encode_a',
+             '--encode_t', '--chunk', '4096', '--ckpt_path', ckpts[0],
+             '--save_depth']))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        out = glob.glob('results/blender/e2e_eval/*.png')
+        assert len(out) == 2
+        # reference writes the video for every blender split (eval.py:212-215)
+        assert os.path.exists('results/blender/e2e_eval/e2e_eval.gif')
+        depths = glob.glob('results/blender/e2e_eval/depth_*.pfm')
+        assert len(depths) == 2
+    finally:
+        os.chdir(cwd)
+
+
+def test_blender_eval_test_split_writes_gif(blender_scene, tmp_path):
+    save = str(tmp_path / "ckpts")
+    run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                '--img_wh', '40', '40', '--exp_name', 'gif',
+                '--save_path', save] + FAST)
+    ckpt = glob.glob(os.path.join(save, 'gif', '*.ckpt'))[0]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        eval_cli.main(eval_cli.get_opts(
+            ['--root_dir', blender_scene, '--dataset_name', 'blender',
+             '--scene_name', 'gif_eval', '--split', 'test',
+             '--img_wh', '40', '40', '--N_samples', '8',
+             '--N_importance', '8', '--chunk', '4096',
+             '--ckpt_path', ckpt]))
+        assert os.path.exists('results/blender/gif_eval/gif_eval.gif')
+    finally:
+        os.chdir(cwd)
+
+
+def test_resume_from_checkpoint(blender_scene, tmp_path):
+    save = str(tmp_path / "ckpts")
+    args = ['--root_dir', blender_scene, '--dataset_name', 'blender',
+            '--img_wh', '40', '40', '--exp_name', 'resume',
+            '--save_path', save] + FAST
+    s1 = run_system(args)
+    ckpt = os.path.join(save, 'resume', 'epoch=0.ckpt')
+    hp = get_opts(args + ['--ckpt_path', ckpt, '--num_epochs', '2'])
+    s2 = NeRFSystem(hp, logger=NullLogger())
+    s2.setup()
+    s2.configure()
+    assert s2.start_epoch == 1
+    assert s2.global_step == s1.global_step
+    s2.fit()
+    assert os.path.exists(os.path.join(save, 'resume', 'epoch=1.ckpt'))
+
+
+def test_phototourism_train_smoke(tmp_path):
+    root = str(tmp_path / "tour")
+    make_phototourism_scene(root, n_images=5, size=24)
+    system = run_system(
+        ['--root_dir', root, '--dataset_name', 'phototourism',
+         '--img_downscale', '1', '--encode_a', '--encode_t',
+         '--N_vocab', '40', '--exp_name', 'tour',
+         '--save_path', str(tmp_path / "ck")] + FAST)
+    # sparse ids went through the id->index map
+    assert system.id_to_cam is not None
+    assert system.ray_format == "camdir"
+
+
+def test_phototourism_refine_pose_smoke(tmp_path):
+    root = str(tmp_path / "tour_rp")
+    make_phototourism_scene(root, n_images=5, size=24)
+    system = run_system(
+        ['--root_dir', root, '--dataset_name', 'phototourism',
+         '--img_downscale', '1', '--refine_pose', '--N_vocab', '40',
+         '--exp_name', 'tour_rp', '--save_path', str(tmp_path / "ck")]
+        + FAST)
+    r = np.asarray(system.params['learn_poses']['r'])
+    assert np.abs(r).max() > 0  # poses actually moved
