@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.sorting import onehot_gather, sorted_uniform
+
 
 def stratified_z_vals(rng, near, far, N_samples: int, *, use_disp: bool = False,
                       perturb: float = 0.0):
@@ -76,7 +78,11 @@ def sample_pdf(rng, bins: jnp.ndarray, weights: jnp.ndarray, N_importance: int,
       eps: zero-weight-bin guard (reference rendering.py:20,41-43).
 
     Returns:
-      samples: (N_rays, N_importance).
+      samples: (N_rays, N_importance), SORTED along the sample axis.  (The
+      stochastic path draws sorted-uniform order statistics directly — same
+      distribution as iid uniforms, but the coarse/fine z-merge then needs
+      only a rank-merge instead of a per-row sort, which XLA lowers badly on
+      TPU.)  Gathers are one-hot contractions for the same reason.
     """
     N_rays, S = weights.shape
     weights = weights + eps
@@ -88,16 +94,16 @@ def sample_pdf(rng, bins: jnp.ndarray, weights: jnp.ndarray, N_importance: int,
         u = jnp.linspace(0.0, 1.0, N_importance, dtype=bins.dtype)
         u = jnp.broadcast_to(u, (N_rays, N_importance))
     else:
-        u = jax.random.uniform(rng, (N_rays, N_importance), dtype=bins.dtype)
+        u = sorted_uniform(rng, (N_rays, N_importance)).astype(bins.dtype)
 
     inds = searchsorted_right(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, S)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=1)
+    cdf_lo = onehot_gather(cdf, below)
+    cdf_hi = onehot_gather(cdf, above)
+    bin_lo = onehot_gather(bins, below)
+    bin_hi = onehot_gather(bins, above)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)  # zero-weight bins never sampled

@@ -96,10 +96,18 @@ def init_nerf(rng, cfg: NeRFConfig, dtype=jnp.float32) -> Params:
     return p
 
 
-def _dense(x, layer, compute_dtype):
+def _dense(x, layer, compute_dtype, out_dtype=None):
+    """One linear layer on the MXU.
+
+    ``out_dtype`` controls the matmul accumulator OUTPUT dtype: hidden layers
+    keep bf16 activations end-to-end (otherwise the f32 cotangents force the
+    backward matmuls onto the 8x-slower f32 MXU path); head layers emit f32.
+    The MXU always accumulates in f32 internally.
+    """
     w = layer["w"].astype(compute_dtype)
-    y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
-    return y + layer["b"]
+    y = jnp.dot(x.astype(compute_dtype), w,
+                preferred_element_type=out_dtype or compute_dtype)
+    return y + layer["b"].astype(y.dtype)
 
 
 def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
@@ -121,36 +129,41 @@ def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
       static_sigma (B,), static_rgb (B, 3),
       transient_sigma (B,), transient_rgb (B, 3), transient_beta (B,).
     """
-    h = xyz_emb
+    xyz_c = xyz_emb.astype(compute_dtype)
+    h = xyz_c
     for i, layer in enumerate(params["xyz"]):
         if i in cfg.skips:
-            h = jnp.concatenate([xyz_emb, h], axis=-1)
+            h = jnp.concatenate([xyz_c, h], axis=-1)
         h = jax.nn.relu(_dense(h, layer, compute_dtype))
 
     static_sigma = jax.nn.softplus(
-        _dense(h, params["static_sigma"], compute_dtype))[..., 0]
+        _dense(h, params["static_sigma"], compute_dtype,
+               out_dtype=jnp.float32))[..., 0]
     out = {"static_sigma": static_sigma}
     if sigma_only:
         return out
 
     xyz_final = _dense(h, params["xyz_final"], compute_dtype)
-    dir_in = jnp.concatenate([xyz_final, dir_a_emb], axis=-1)
+    dir_in = jnp.concatenate([xyz_final, dir_a_emb.astype(compute_dtype)],
+                             axis=-1)
     dir_h = jax.nn.relu(_dense(dir_in, params["dir"], compute_dtype))
     out["static_rgb"] = jax.nn.sigmoid(
-        _dense(dir_h, params["static_rgb"], compute_dtype))
+        _dense(dir_h, params["static_rgb"], compute_dtype,
+               out_dtype=jnp.float32))
 
     if not output_transient:
         return out
 
     tp = params["transient"]
-    th = jnp.concatenate([xyz_final, t_emb], axis=-1)
+    th = jnp.concatenate([xyz_final, t_emb.astype(compute_dtype)], axis=-1)
     for layer in tp["layers"]:
         th = jax.nn.relu(_dense(th, layer, compute_dtype))
     out["transient_sigma"] = jax.nn.softplus(
-        _dense(th, tp["sigma"], compute_dtype))[..., 0]
-    out["transient_rgb"] = jax.nn.sigmoid(_dense(th, tp["rgb"], compute_dtype))
+        _dense(th, tp["sigma"], compute_dtype, out_dtype=jnp.float32))[..., 0]
+    out["transient_rgb"] = jax.nn.sigmoid(
+        _dense(th, tp["rgb"], compute_dtype, out_dtype=jnp.float32))
     out["transient_beta"] = jax.nn.softplus(
-        _dense(th, tp["beta"], compute_dtype))[..., 0]
+        _dense(th, tp["beta"], compute_dtype, out_dtype=jnp.float32))[..., 0]
     return out
 
 

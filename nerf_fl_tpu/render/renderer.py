@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from ..core import compositing, encoding, sampling
 from ..models.embeddings import embedding_lookup
 from ..models.mlp import NeRFConfig, apply_nerf
+from ..ops.fused_mlp import fused_apply_nerf
+from ..ops.sorting import rank_merge_sorted
 
 
 @dataclass(frozen=True)
@@ -52,6 +54,7 @@ class RenderConfig:
     barf_epoch_start: int = 4       # hardcoded (4, 8) in reference train.py:43-44
     barf_epoch_end: int = 8
     compute_dtype: str = "float32"  # "bfloat16" on the perf path
+    use_pallas: Optional[bool] = None  # None = auto (on when running on TPU)
 
     @property
     def in_channels_xyz(self) -> int:
@@ -95,11 +98,19 @@ def _embed_dir(cfg: RenderConfig, d, epoch):
         epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end)
 
 
+def _fused_ok(mcfg: NeRFConfig) -> bool:
+    """Whether the Pallas fused-MLP kernel supports this architecture."""
+    return (mcfg.D == 8 and mcfg.W == 256 and tuple(mcfg.skips) == (4,)
+            and mcfg.in_channels_xyz <= 128
+            and mcfg.in_channels_dir + mcfg.a_dim <= 128
+            and mcfg.in_channels_t <= 128)
+
+
 def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz_emb,
              dir_emb=None, a_emb=None, t_emb=None, *, sigma_only=False,
              output_transient=False):
     """Flatten (N, S, C) sample grids to one (N*S, C) matmul batch, run the
-    MLP, and restore (N, S) shapes."""
+    MLP (fused Pallas kernel on TPU), and restore (N, S) shapes."""
     N, S = xyz_emb.shape[:2]
     flat = lambda x: x.reshape(N * S, x.shape[-1])
     dir_a = None
@@ -111,9 +122,23 @@ def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz_emb,
     t_flat = None
     if output_transient:
         t_flat = flat(jnp.broadcast_to(t_emb[:, None, :], (N, S, t_emb.shape[-1])))
-    out = apply_nerf(model_params, mcfg, flat(xyz_emb), dir_a, t_flat,
-                     sigma_only=sigma_only, output_transient=output_transient,
-                     compute_dtype=cfg.dtype)
+
+    on_tpu = jax.default_backend() == "tpu"
+    # auto currently resolves to OFF: on v5e the measured fused-kernel fwd
+    # (13 ms @ 524k pts, TILE=512) trails the XLA path (8 ms) — per-tile
+    # pipeline overheads dominate at this arithmetic intensity.  The kernel
+    # is kept, correctness-tested, and selectable for further tuning.
+    use_fused = cfg.use_pallas if cfg.use_pallas is not None else False
+    if use_fused and not sigma_only and _fused_ok(mcfg):
+        out = fused_apply_nerf(
+            model_params, flat(xyz_emb), dir_a, t_flat,
+            output_transient=output_transient, compute_dtype=cfg.dtype,
+            interpret=not on_tpu)
+    else:
+        out = apply_nerf(model_params, mcfg, flat(xyz_emb), dir_a, t_flat,
+                         sigma_only=sigma_only,
+                         output_transient=output_transient,
+                         compute_dtype=cfg.dtype)
     return {k: v.reshape((N, S) + v.shape[1:]) for k, v in out.items()}
 
 
@@ -186,7 +211,11 @@ def render_rays(params: Dict[str, Any], rays: jnp.ndarray, ts: jnp.ndarray,
     inner_weights = jax.lax.stop_gradient(results["weights_coarse"][:, 1:-1])
     z_fine = sampling.sample_pdf(k_pdf, z_mid, inner_weights,
                                  cfg.N_importance, det=(cfg.perturb == 0))
-    z_vals = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+    # both arrays are per-row sorted (stratified z is monotone even when
+    # jittered; sample_pdf emits order statistics), so the reference's full
+    # sort (rendering.py:272) reduces to a rank merge — dense VPU work
+    # instead of XLA's slow per-row TPU sort.
+    z_vals = rank_merge_sorted(z_vals, z_fine)
     xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     fcfg = cfg.nerf_config("fine")

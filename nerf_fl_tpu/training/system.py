@@ -67,6 +67,8 @@ def config_from_hparams(hparams, white_back: bool) -> RenderConfig:
         beta_min=hparams.beta_min,
         refine_pose=getattr(hparams, "refine_pose", False),
         compute_dtype=getattr(hparams, "compute_dtype", "float32"),
+        use_pallas={"auto": None, "on": True, "off": False}[
+            getattr(hparams, "use_pallas", "auto")],
     )
 
 

@@ -117,6 +117,9 @@ def get_parser():
                              'double rate; accumulation stays float32)')
     parser.add_argument('--model_parallel', type=int, default=1,
                         help='tensor-parallel degree over the mesh "model" axis')
+    parser.add_argument('--use_pallas', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='fused Pallas MLP kernel (auto = backend default)')
     parser.add_argument('--seed', type=int, default=0,
                         help='PRNG seed for init, shuffling and sampling')
     parser.add_argument('--log_every', type=int, default=50,

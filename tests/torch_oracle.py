@@ -26,8 +26,10 @@ def reference_available() -> bool:
 
 
 def _load():
+    # APPEND so reference modules never shadow same-named repo modules
+    # (both trees have an eval.py; the repo one must win for `import eval`)
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     # stub deps the reference's utils package pulls in but we don't need
     for name in ("torch_optimizer",):
         if name not in sys.modules:
