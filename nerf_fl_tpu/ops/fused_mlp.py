@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
-TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))  # sample points per grid step
+TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))       # bwd tile
+TILE_FWD = int(_os.environ.get("FUSED_MLP_TILE_FWD", str(TILE)))
 LANES = 128
 
 # padded dims
@@ -351,8 +352,8 @@ def _fused_fwd(ws, x, dira, temb, *, a_dim, has_transient, dtype_name,
                interpret):
     dtype = jnp.dtype(dtype_name)
     n = x.shape[0]
-    grid = n // TILE
-    tile_spec = lambda: pl.BlockSpec((TILE, LANES), lambda i: (i, 0),
+    grid = n // TILE_FWD
+    tile_spec = lambda: pl.BlockSpec((TILE_FWD, LANES), lambda i: (i, 0),
                                      memory_space=pltpu.ANY
                                      if interpret else pltpu.VMEM)
     w_specs = [pl.BlockSpec(s, lambda i: (0, 0),
@@ -368,9 +369,12 @@ def _fused_fwd(ws, x, dira, temb, *, a_dim, has_transient, dtype_name,
         out_shape.append(jax.ShapeDtypeStruct((n, LANES), jnp.float32))
         out_specs.append(tile_spec())
     kernel = functools.partial(_fwd_kernel, has_transient, dtype)
+    cp = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",))
     return pl.pallas_call(
         kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=interpret)(*ins)
+        out_shape=out_shape, interpret=interpret,
+        **({} if cp is None else {"compiler_params": cp}))(*ins)
 
 
 @functools.partial(jax.jit, static_argnames=("a_dim", "has_transient",
@@ -480,7 +484,8 @@ def fused_apply_nerf(params, xyz_emb, dir_a_emb, t_emb=None, *,
     the head nonlinearities, and returns the same named-head dict.
     """
     n0 = xyz_emb.shape[0]
-    n = -(-n0 // TILE) * TILE
+    _t = max(TILE, TILE_FWD)
+    n = -(-n0 // _t) * _t
     a_dim = dir_a_emb.shape[-1] - 27
     x = _pad_cols(xyz_emb, IN_X)
     d = _pad_cols(dir_a_emb, IN_D)

@@ -37,8 +37,11 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
     if extra:
         state["extra"] = extra
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic write: a preempted run can never leave a torn checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(state))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict:

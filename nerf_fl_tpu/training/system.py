@@ -332,11 +332,19 @@ class NeRFSystem:
             lr_j = jnp.float32(lr)
             ep_j = jnp.float32(epoch)
             t0, n_rays = time.time(), 0
+            profile_dir = getattr(h, "profile_dir", None)
             for batch in self.batcher.epoch(epoch):
+                if profile_dir and self.global_step == 100:
+                    jax.profiler.start_trace(profile_dir)
                 batch = shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(base_rng, self.global_step)
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, lr_j, ep_j, rng)
+                if profile_dir and self.global_step == 120:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), self.params)
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 n_rays += h.batch_size
                 if self.global_step % getattr(h, "log_every", 50) == 0:
                     m = {k: float(v) for k, v in

@@ -124,6 +124,9 @@ def get_parser():
                         help='PRNG seed for init, shuffling and sampling')
     parser.add_argument('--log_every', type=int, default=50,
                         help='scalar-logging period in steps')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='capture a jax.profiler trace of training steps '
+                             '100-120 into this directory (TensorBoard-viewable)')
 
     return parser
 
