@@ -263,7 +263,9 @@ class NeRFSystem:
         if getattr(h, "ckpt_path", None):
             self.restore(h.ckpt_path)
 
-        self.mesh = make_mesh(num_model=getattr(h, "model_parallel", 1))
+        # --num_gpus (reference flag) = data-parallel width in chips
+        self.mesh = make_mesh(num_data=max(1, getattr(h, "num_gpus", 1)),
+                              num_model=getattr(h, "model_parallel", 1))
         self.params = place_params(
             self.mesh, self.params,
             model_parallel=getattr(h, "model_parallel", 1) > 1)
