@@ -98,6 +98,10 @@ def main(args):
     scene = os.path.basename(args.root_dir.strip('/'))
 
     cfg, params = build_eval_state(args)
+    # background handling is dataset-dependent (reference eval.py:101 passes
+    # dataset.white_back into render_rays)
+    from dataclasses import replace as _replace
+    cfg = _replace(cfg, white_back=dataset.white_back)
 
     if args.refine_pose:
         # compose the learned deltas onto the dataset's poses

@@ -178,11 +178,13 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         r = rays[i:i + chunk]
         t = ts[i:i + chunk]
         pad = chunk - len(r)
-        if pad > 0 and n > chunk:
+        if pad > 0:
+            # ALWAYS pad to the fixed chunk: one compiled program serves
+            # every image size, and odd shapes never reach the compiler
+            # (some sizes, e.g. 4096 rays at 64+64 samples, trip an XLA
+            # TPU register-allocation bug on this toolchain).
             r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
             t = np.concatenate([t, np.repeat(t[-1:], pad, 0)], 0)
-        elif pad > 0:
-            pass  # single short batch: compile at its natural size
         res = fn(params, jnp.asarray(r), jnp.asarray(t),
                  jax.random.fold_in(rng, i), epoch)
         res = jax.device_get(res)

@@ -59,6 +59,8 @@ def main():
         kwargs['img_downscale'] = args.img_downscale
     dataset = dataset_dict[args.dataset_name](**kwargs)
     cfg, params = eval_cli.build_eval_state(args)
+    from dataclasses import replace
+    cfg = replace(cfg, white_back=dataset.white_back)
 
     sample = dataset[args.idx]
     res = render_chunked(params, sample['rays'], sample['ts'], cfg,

@@ -48,6 +48,9 @@ def test_blender_train_eval_roundtrip(blender_scene, tmp_path):
              '--encode_t', '--chunk', '4096', '--ckpt_path', ckpts[0],
              '--save_depth']))
         assert mean_psnr is not None and np.isfinite(mean_psnr)
+        # regression: a missing white_back at eval renders black backgrounds
+        # (~1 dB); any sane render of this scene sits well above 5 dB
+        assert mean_psnr > 5.0, mean_psnr
         out = glob.glob('results/blender/e2e_eval/*.png')
         assert len(out) == 2
         # reference writes the video for every blender split (eval.py:212-215)
