@@ -16,7 +16,7 @@ pose deltas when --refine_pose is off) are masked out of the update.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

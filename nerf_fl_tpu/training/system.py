@@ -40,7 +40,7 @@ from ..models import (init_embedding, init_learn_pose, init_nerf, pose_for,
 from ..parallel import make_mesh, place_params, shard_batch
 from ..render import RenderConfig, render_rays
 from . import checkpoints
-from .logging import ExperimentLogger, NullLogger
+from .logging import ExperimentLogger
 from .losses import loss_dict
 from .optimizers import (build_optimizer, lr_for_epoch, make_trainable_mask,
                          mask_updates)
