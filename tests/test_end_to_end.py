@@ -98,6 +98,15 @@ def test_resume_from_checkpoint(blender_scene, tmp_path):
     assert os.path.exists(os.path.join(save, 'resume', 'epoch=1.ckpt'))
 
 
+def test_multichip_cli_train(blender_scene, tmp_path):
+    """--num_gpus 8 drives the data-parallel mesh over the virtual devices."""
+    system = run_system(['--root_dir', blender_scene, '--dataset_name',
+                         'blender', '--img_wh', '40', '40', '--num_gpus', '8',
+                         '--exp_name', 'dp8', '--save_path',
+                         str(tmp_path / "ck")] + FAST)
+    assert dict(system.mesh.shape) == {"data": 8, "model": 1}
+
+
 def test_phototourism_train_smoke(tmp_path):
     root = str(tmp_path / "tour")
     make_phototourism_scene(root, n_images=5, size=24)
