@@ -26,8 +26,7 @@ from typing import Dict
 import numpy as np
 from PIL import Image
 
-from .colmap import (read_cameras_binary, read_images_binary,
-                     read_points3d_binary)
+from .colmap import read_cameras_binary, read_images_binary
 from .rays_np import get_ray_directions, get_rays
 
 
@@ -127,9 +126,10 @@ class PhototourismDataset:
             with open(self._cache("fars.pkl"), "rb") as f:
                 self.fars = pickle.load(f)
         else:
-            pts3d = read_points3d_binary(
-                os.path.join(self.root_dir, "dense/sparse/points3D.bin"))
-            self.xyz_world = np.array([pts3d[p].xyz for p in pts3d])
+            from .colmap_native import read_points3d_arrays
+            self.xyz_world = read_points3d_arrays(
+                os.path.join(self.root_dir,
+                             "dense/sparse/points3D.bin")).xyz
             xyz_h = np.concatenate(
                 [self.xyz_world, np.ones((len(self.xyz_world), 1))], -1)
             self.nears, self.fars = {}, {}
@@ -168,12 +168,17 @@ class PhototourismDataset:
 
     def _bake_train_rays(self):
         if self.use_cache:
-            all_rays = np.load(self._cache(f"rays{self.img_downscale}.npy"))
-            all_rgbs = np.load(self._cache(f"rgbs{self.img_downscale}.npy"))
+            # memory-map the big buffers: at img_downscale 1 the ray cache is
+            # tens of GB (reference docstring phototourism.py:24-25); the
+            # batch sampler's random gathers touch pages on demand
+            all_rays = np.load(self._cache(f"rays{self.img_downscale}.npy"),
+                               mmap_mode="r")
+            all_rgbs = np.load(self._cache(f"rgbs{self.img_downscale}.npy"),
+                               mmap_mode="r")
             # reference 6-col layout: [dir, near, far, id]
-            self.all_rays = np.ascontiguousarray(all_rays[:, :5], np.float32)
-            self.all_ts = all_rays[:, 5].astype(np.int32)
-            self.all_rgbs = np.asarray(all_rgbs, np.float32)
+            self.all_rays = all_rays[:, :5]
+            self.all_ts = np.asarray(all_rays[:, 5], np.int32)
+            self.all_rgbs = all_rgbs
             return
         rays_list, rgb_list, ts_list = [], [], []
         for id_ in self.img_ids_train:

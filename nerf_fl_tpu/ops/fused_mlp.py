@@ -369,7 +369,7 @@ def _fused_fwd(ws, x, dira, temb, *, a_dim, has_transient, dtype_name,
         out_specs.append(tile_spec())
     kernel = functools.partial(_fwd_kernel, has_transient, dtype)
     cp = None if interpret else pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",))
+        dimension_semantics=(_os.environ.get("FUSED_MLP_FWD_SEM", "parallel"),))
     return pl.pallas_call(
         kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
