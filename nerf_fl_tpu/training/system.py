@@ -173,7 +173,9 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
 
-    outs = defaultdict(list)
+    # Dispatch ALL chunks first (async), then read back — the device pipeline
+    # overlaps chunk k+1's compute with chunk k's transfer.
+    pending = []
     for i in range(0, n, chunk):
         r = rays[i:i + chunk]
         t = ts[i:i + chunk]
@@ -187,9 +189,13 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
             t = np.concatenate([t, np.repeat(t[-1:], pad, 0)], 0)
         res = fn(params, jnp.asarray(r), jnp.asarray(t),
                  jax.random.fold_in(rng, i), epoch)
+        pending.append((res, len(rays[i:i + chunk])))
+
+    outs = defaultdict(list)
+    for res, keep in pending:
         res = jax.device_get(res)
         for k, v in res.items():
-            outs[k].append(v[:len(rays[i:i + chunk])] if pad > 0 else v)
+            outs[k].append(v[:keep])
     return {k: np.concatenate(v, 0) for k, v in outs.items()}
 
 
