@@ -144,11 +144,14 @@ def main(args):
     os.makedirs(dir_name, exist_ok=True)
 
     typ = 'fine' if args.N_importance > 0 else 'coarse'
+    wanted = (f'rgb_{typ}', f'depth_{typ}', 'rgb_fine_static',
+              'rgb_fine_transient', 'depth_fine_static',
+              'depth_fine_transient', 'beta')
     for i in range(len(dataset)):
         sample = dataset[i]
         results = render_chunked(
             params, sample['rays'], sample['ts'], cfg, chunk=args.chunk,
-            test_time=True, **render_kwargs)
+            test_time=True, keys=wanted, **render_kwargs)
 
         if args.dataset_name == 'blender':
             w, h = args.img_wh
@@ -171,12 +174,14 @@ def main(args):
 
     if args.dataset_name == 'blender' or \
             (args.dataset_name == 'phototourism' and args.split == 'test'):
-        ext = args.video_format
-        path = os.path.join(dir_name, f'{args.scene_name}.{ext}')
-        if ext == 'gif':
+        path = os.path.join(dir_name, f'{args.scene_name}.{args.video_format}')
+        try:
             imageio.mimsave(path, imgs, fps=30)
-        else:
-            imageio.mimsave(path, imgs, fps=30)
+        except Exception as e:  # mp4 needs an ffmpeg backend
+            fallback = os.path.join(dir_name, f'{args.scene_name}.gif')
+            print(f'[eval] {args.video_format} writer unavailable ({e}); '
+                  f'writing {fallback}')
+            imageio.mimsave(fallback, imgs, fps=30)
 
     if psnrs:
         mean_psnr = np.mean(psnrs)

@@ -149,26 +149,37 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool):
+def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool,
+                   keys):
     def run(params, rays, ts, rng, epoch):
-        return render_rays(params, rays, ts, rng, cfg, epoch=epoch,
-                           test_time=test_time,
-                           output_transient=output_transient)
+        res = render_rays(params, rays, ts, rng, cfg, epoch=epoch,
+                          test_time=test_time,
+                          output_transient=output_transient)
+        if keys is not None:
+            # returning only the requested keys lets XLA dead-code-eliminate
+            # the per-sample buffers (weights, transient sigmas) entirely —
+            # they otherwise dominate the device->host transfer (~45 MB per
+            # 32k-ray chunk, which is ~50x the pixels being rendered)
+            res = {k: v for k, v in res.items() if k in keys}
+        return res
     return jax.jit(run)
 
 
 def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
                    cfg: RenderConfig, *, chunk: int = 32 * 1024,
                    test_time: bool = True, output_transient: bool = True,
-                   epoch: float = 0.0, rng=None) -> Dict[str, np.ndarray]:
+                   epoch: float = 0.0, rng=None,
+                   keys=None) -> Dict[str, np.ndarray]:
     """Render arbitrarily many rays through fixed-shape compiled chunks.
 
     The reference chunks to avoid OOM (eval.py:80-110); here chunking also
     pins a single compiled program per chunk shape.  The tail chunk is padded
-    (edge-replicated) and trimmed after.
+    (edge-replicated) and trimmed after.  ``keys`` (iterable of result names)
+    restricts computation AND transfer to the named outputs.
     """
     n = len(rays)
-    fn = _jitted_render(cfg, test_time, output_transient)
+    fn = _jitted_render(cfg, test_time, output_transient,
+                        None if keys is None else frozenset(keys))
     if rng is None:
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
@@ -307,7 +318,9 @@ class NeRFSystem:
             res = render_chunked(
                 self.params, rays, ts, self.cfg, chunk=h.chunk,
                 test_time=False, epoch=float(epoch),
-                rng=jax.random.PRNGKey(1000 + i))
+                rng=jax.random.PRNGKey(1000 + i),
+                keys=("rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine",
+                      "beta", "transient_sigmas"))
             typ = "fine" if "rgb_fine" in res else "coarse"
             loss_d = loss_dict[self.loss_name](res, rgbs)
             losses.append(float(sum(np.asarray(v) for v in loss_d.values())))
