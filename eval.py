@@ -147,10 +147,21 @@ def main(args):
     wanted = (f'rgb_{typ}', f'depth_{typ}', 'rgb_fine_static',
               'rgb_fine_transient', 'depth_fine_static',
               'depth_fine_transient', 'beta')
+
+    # Unlike the reference (whose chunk also limits the internal MLP point
+    # batches, rendering.py:119), our chunk IS the fused program size: cap
+    # the per-program sample-point count so huge --chunk values can't OOM.
+    total_samples = args.N_samples * (2 if args.N_importance > 0 else 1) \
+        + args.N_importance
+    max_chunk = max(1024, (6_000_000 // total_samples) // 1024 * 1024)
+    chunk = min(args.chunk, max_chunk)
+    if chunk < args.chunk:
+        print(f'[eval] clamping chunk {args.chunk} -> {chunk} '
+              f'({total_samples} samples/ray)')
     for i in range(len(dataset)):
         sample = dataset[i]
         results = render_chunked(
-            params, sample['rays'], sample['ts'], cfg, chunk=args.chunk,
+            params, sample['rays'], sample['ts'], cfg, chunk=chunk,
             test_time=True, keys=wanted, **render_kwargs)
 
         if args.dataset_name == 'blender':

@@ -35,6 +35,10 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
             raise ValueError(f"{n} devices not divisible by model={num_model}")
         num_data = n // num_model
     use = num_data * num_model
+    if use > n:
+        raise ValueError(
+            f"requested mesh data={num_data} x model={num_model} = {use} "
+            f"devices but only {n} available")
     dev = np.asarray(devices[:use]).reshape(num_data, num_model)
     return Mesh(dev, ("data", "model"))
 

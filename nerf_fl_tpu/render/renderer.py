@@ -183,7 +183,11 @@ def render_rays(params: Dict[str, Any], rays: jnp.ndarray, ts: jnp.ndarray,
     results: Dict[str, jnp.ndarray] = {}
     ccfg = cfg.nerf_config("coarse")
 
-    if test_time:
+    # The reference always runs the coarse model sigma-only at test time
+    # (rendering.py:103-111), which leaves a coarse-only model with nothing
+    # to render at eval.  Divergence: when there is no fine model, the
+    # coarse pass renders fully even at test time.
+    if test_time and cfg.N_importance > 0:
         out = _run_mlp(params["nerf_coarse"], ccfg, cfg,
                        _embed_xyz(cfg, xyz_coarse, epoch), sigma_only=True)
         comp = compositing.composite_static(
