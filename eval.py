@@ -104,14 +104,22 @@ def main(args):
     cfg = _replace(cfg, white_back=dataset.white_back)
 
     if args.refine_pose:
-        # compose the learned deltas onto the dataset's poses
-        ckpt = checkpoints.load_checkpoint(args.ckpt_path)
-        if 'learn_poses' in ckpt.get('state_dict', {}):
-            from nerf_fl_tpu.models.poses import all_poses
-            lp = jax.tree_util.tree_map(
-                np.asarray, ckpt['state_dict']['learn_poses'])
-            refined = np.asarray(all_poses(lp))[:, :3]
-            dataset.apply_refined_poses(refined)
+        # Compose the learned deltas onto the dataset's poses.  Learned poses
+        # exist only for the cameras seen in training: phototourism indexes
+        # them by tsv image order (valid for every split); for blender they
+        # are per-TRAIN-frame, so only the test_train split may use them.
+        if args.dataset_name == 'blender' and args.split != 'test_train':
+            print('[eval] --refine_pose on blender applies only to '
+                  '--split test_train (learned poses are per-train-frame); '
+                  'ignoring')
+        else:
+            ckpt = checkpoints.load_checkpoint(args.ckpt_path)
+            if 'learn_poses' in ckpt.get('state_dict', {}):
+                from nerf_fl_tpu.models.poses import all_poses
+                lp = jax.tree_util.tree_map(
+                    np.asarray, ckpt['state_dict']['learn_poses'])
+                refined = np.asarray(all_poses(lp))[:, :3]
+                dataset.apply_refined_poses(refined)
 
     render_kwargs = {}
     if args.dataset_name == 'phototourism' and args.split == 'test':
