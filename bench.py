@@ -76,10 +76,20 @@ def main():
     # point, not block_until_ready — the tunneled device runtime used in
     # this environment acks buffers before compute drains, so only a real
     # device->host value transfer bounds the measured region honestly.
-    for i in range(5):
-        params, opt_state, m = step(params, opt_state, get_batch(i), lr, ep,
-                                    jax.random.fold_in(key, i))
-    float(m["train/loss"])
+    # The remote compile service occasionally 500s transiently: retry.
+    for attempt in range(3):
+        try:
+            for i in range(5):
+                params, opt_state, m = step(params, opt_state, get_batch(i),
+                                            lr, ep, jax.random.fold_in(key, i))
+            float(m["train/loss"])
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"warmup attempt {attempt} failed ({e}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
 
     t0 = time.perf_counter()
     for i in range(measure_steps):
