@@ -80,9 +80,14 @@ class PhototourismDataset:
                 self.image_paths[id_] = filename
                 self.img_ids.append(id_)
 
-        # Step 2: rescaled intrinsics (keyed by camera id, reference quirk)
-        if self.use_cache:
-            with open(self._cache(f"Ks{self.img_downscale}.pkl"), "rb") as f:
+        # Step 2: rescaled intrinsics (keyed by camera id, reference quirk).
+        # Scale-suffixed cache artifacts may not exist for THIS scale (val
+        # forces img_downscale >= 2 while prepare_phototourism typically ran
+        # at the train scale — a latent crash in the reference); fall back
+        # to direct computation when missing.
+        ks_cache = self._cache(f"Ks{self.img_downscale}.pkl")
+        if self.use_cache and os.path.exists(ks_cache):
+            with open(ks_cache, "rb") as f:
                 self.Ks = pickle.load(f)
         else:
             self.Ks = {}

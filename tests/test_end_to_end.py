@@ -120,6 +120,35 @@ def test_phototourism_train_smoke(tmp_path):
     assert system.ray_format == "camdir"
 
 
+def test_phototourism_cached_train_matches_uncached(tmp_path):
+    """--use_cache (prepare_phototourism output) trains identically to the
+    direct pipeline: same buffers -> same first batch."""
+    import prepare_phototourism as prep
+
+    root = str(tmp_path / "tour_cache")
+    make_phototourism_scene(root, n_images=5, size=24)
+    prep.main(type("A", (), {"root_dir": root, "img_downscale": 1}))
+
+    base = ['--root_dir', root, '--dataset_name', 'phototourism',
+            '--img_downscale', '1', '--N_vocab', '40',
+            '--save_path', str(tmp_path / "ck")] + FAST
+    hp1 = get_opts(base + ['--exp_name', 'nocache'])
+    hp2 = get_opts(base + ['--exp_name', 'cache', '--use_cache'])
+    s1 = NeRFSystem(hp1, logger=NullLogger())
+    s1.setup()
+    s2 = NeRFSystem(hp2, logger=NullLogger())
+    s2.setup()
+    np.testing.assert_allclose(np.asarray(s1.train_dataset.all_rays),
+                               np.asarray(s2.train_dataset.all_rays),
+                               atol=1e-6)
+    b1 = next(iter(s1.batcher.epoch(0)))
+    b2 = next(iter(s2.batcher.epoch(0)))
+    np.testing.assert_allclose(b1["rays"], b2["rays"], atol=1e-6)
+    np.testing.assert_array_equal(b1["ts"], b2["ts"])
+    s2.configure()
+    s2.fit()  # cached pipeline trains end to end
+
+
 def test_phototourism_refine_pose_smoke(tmp_path):
     root = str(tmp_path / "tour_rp")
     make_phototourism_scene(root, n_images=5, size=24)
