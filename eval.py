@@ -55,6 +55,9 @@ def get_opts(argv=None):
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--save_depth', default=False, action="store_true",
                         help='also save depth maps as PFM')
+    parser.add_argument('--compute_ssim', default=False, action="store_true",
+                        help='also report mean SSIM (the reference computes '
+                             'SSIM only in its notebooks)')
     return parser.parse_args(argv)
 
 
@@ -147,7 +150,7 @@ def main(args):
                 'brandenburg_gate is defined (reference eval.py:169-183)')
         render_kwargs['output_transient'] = False
 
-    imgs, psnrs = [], []
+    imgs, psnrs, ssims = [], [], []
     dir_name = f'results/{args.dataset_name}/{args.scene_name}'
     os.makedirs(dir_name, exist_ok=True)
 
@@ -189,6 +192,11 @@ def main(args):
         if 'rgbs' in sample:
             img_gt = sample['rgbs'].reshape(h, w, 3)
             psnrs.append(float(psnr_fn(img_gt, img_pred)))
+            if args.compute_ssim:
+                from nerf_fl_tpu.training.metrics import ssim as ssim_fn
+                ssims.append(float(ssim_fn(
+                    img_pred.transpose(2, 0, 1)[None],
+                    np.ascontiguousarray(img_gt.transpose(2, 0, 1))[None])))
         print(f'frame {i + 1}/{len(dataset)}', flush=True)
 
     if args.dataset_name == 'blender' or \
@@ -202,6 +210,8 @@ def main(args):
                   f'writing {fallback}')
             imageio.mimsave(fallback, imgs, fps=30)
 
+    if ssims:
+        print(f'Mean SSIM : {np.mean(ssims):.4f}')
     if psnrs:
         mean_psnr = np.mean(psnrs)
         print(f'Mean PSNR : {mean_psnr:.2f}')
