@@ -358,15 +358,23 @@ class NeRFSystem:
             profile_dir = getattr(h, "profile_dir", None)
             for batch in self.batcher.epoch(epoch):
                 if profile_dir and self.global_step == 100:
-                    jax.profiler.start_trace(profile_dir)
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                    except Exception as e:  # never let tracing kill training
+                        print(f"[profiler] start_trace failed: {e}")
+                        profile_dir = None
                 batch = shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(base_rng, self.global_step)
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, lr_j, ep_j, rng)
                 if profile_dir and self.global_step == 120:
-                    jax.tree_util.tree_map(
-                        lambda x: x.block_until_ready(), self.params)
-                    jax.profiler.stop_trace()
+                    try:
+                        jax.tree_util.tree_map(
+                            lambda x: x.block_until_ready(), self.params)
+                        jax.profiler.stop_trace()
+                        print(f"[profiler] trace written to {profile_dir}")
+                    except Exception as e:
+                        print(f"[profiler] stop_trace failed: {e}")
                     profile_dir = None
                 n_rays += h.batch_size
                 if self.global_step % getattr(h, "log_every", 50) == 0:
