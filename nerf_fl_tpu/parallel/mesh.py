@@ -36,9 +36,14 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
         num_data = n // num_model
     use = num_data * num_model
     if use > n:
+        platform = devices[0].platform if devices else "unknown"
         raise ValueError(
             f"requested mesh data={num_data} x model={num_model} = {use} "
-            f"devices but only {n} available")
+            f"devices but only {n} {platform} device(s) available. "
+            "Fixes: run single-chip (--num_gpus 1), or simulate chips on "
+            "CPU by setting XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={use} and jax.config.update('jax_platforms', 'cpu') "
+            "before any JAX backend use (see tests/conftest.py).")
     dev = np.asarray(devices[:use]).reshape(num_data, num_model)
     return Mesh(dev, ("data", "model"))
 
