@@ -81,14 +81,9 @@ def extract_model_state_dict(ckpt_path: str, model_name: str = "model",
     return out
 
 
-def load_ckpt(params_sub: Any, ckpt_path: str, model_name: str = "model",
-              prefixes_to_ignore: Sequence[str] = ()) -> Any:
-    """Non-strict submodule load: leaves present in the checkpoint replace the
-    corresponding leaves of ``params_sub``; missing leaves keep their values
-    (reference load_ckpt, utils/__init__.py:84-88)."""
-    wanted = extract_model_state_dict(ckpt_path, model_name, prefixes_to_ignore)
-    if not wanted:
-        return params_sub
+def _replace_leaves(params_sub: Any, wanted: Dict, model_name: str) -> Any:
+    """Replace leaves of ``params_sub`` by flat dotted name from ``wanted``;
+    absent names keep their values (non-strict)."""
 
     def path_name(path) -> str:
         return ".".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
@@ -105,3 +100,45 @@ def load_ckpt(params_sub: Any, ckpt_path: str, model_name: str = "model",
         return leaf
 
     return jax.tree_util.tree_map_with_path(replace, params_sub)
+
+
+def load_ckpt(params_sub: Any, ckpt_path: str, model_name: str = "model",
+              prefixes_to_ignore: Sequence[str] = ()) -> Any:
+    """Non-strict submodule load: leaves present in the checkpoint replace the
+    corresponding leaves of ``params_sub``; missing leaves keep their values
+    (reference load_ckpt, utils/__init__.py:84-88)."""
+    wanted = extract_model_state_dict(ckpt_path, model_name, prefixes_to_ignore)
+    if not wanted:
+        return params_sub
+    return _replace_leaves(params_sub, wanted, model_name)
+
+
+def load_into(params: Any, ckpt: Dict,
+              prefixes_to_ignore: Sequence[str] = ()) -> Any:
+    """Non-strict whole-tree load from an already-read checkpoint dict.
+
+    For every top-level submodule present in both the checkpoint's state dict
+    and ``params``, replace matching leaves; everything else (missing
+    submodules, missing leaves, ignored prefixes) keeps its current value.
+    This is the train-path analog of reference ``load_ckpt``
+    (utils/__init__.py:84-88) honoring ``--prefixes_to_ignore``
+    (opt.py:70-71): it accepts stripped (save_weights_only) and partial
+    checkpoints that the strict full-state resume cannot.
+    """
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = dict(params)
+    for name, sub in params.items():
+        if name not in sd:
+            continue
+        if any(name.startswith(p) for p in prefixes_to_ignore):
+            print("ignore submodule", name)
+            continue
+        flat = {}
+        for k, v in _flatten(sd[name]).items():
+            if any(k.startswith(p) or f"{name}.{k}".startswith(p)
+                   for p in prefixes_to_ignore):
+                print("ignore", f"{name}.{k}")
+                continue
+            flat[k] = v
+        out[name] = _replace_leaves(sub, flat, name)
+    return out

@@ -24,8 +24,9 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -169,13 +170,17 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
                    cfg: RenderConfig, *, chunk: int = 32 * 1024,
                    test_time: bool = True, output_transient: bool = True,
                    epoch: float = 0.0, rng=None,
-                   keys=None) -> Dict[str, np.ndarray]:
+                   keys=None, inflight: int = 4) -> Dict[str, np.ndarray]:
     """Render arbitrarily many rays through fixed-shape compiled chunks.
 
     The reference chunks to avoid OOM (eval.py:80-110); here chunking also
     pins a single compiled program per chunk shape.  The tail chunk is padded
     (edge-replicated) and trimmed after.  ``keys`` (iterable of result names)
-    restricts computation AND transfer to the named outputs.
+    restricts computation AND transfer to the named outputs.  At most
+    ``inflight`` chunks are dispatched ahead of readback: the device pipeline
+    still overlaps chunk k+1's compute with chunk k's transfer, but result
+    buffers can't pile up in HBM on multi-megapixel frames (dozens of chunks
+    at phototourism img_downscale 1).
     """
     n = len(rays)
     fn = _jitted_render(cfg, test_time, output_transient,
@@ -184,9 +189,15 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
 
-    # Dispatch ALL chunks first (async), then read back — the device pipeline
-    # overlaps chunk k+1's compute with chunk k's transfer.
-    pending = []
+    outs = defaultdict(list)
+    pending: deque = deque()
+
+    def drain_one():
+        res, keep = pending.popleft()
+        res = jax.device_get(res)
+        for k, v in res.items():
+            outs[k].append(v[:keep])
+
     for i in range(0, n, chunk):
         r = rays[i:i + chunk]
         t = ts[i:i + chunk]
@@ -201,12 +212,10 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         res = fn(params, jnp.asarray(r), jnp.asarray(t),
                  jax.random.fold_in(rng, i), epoch)
         pending.append((res, len(rays[i:i + chunk])))
-
-    outs = defaultdict(list)
-    for res, keep in pending:
-        res = jax.device_get(res)
-        for k, v in res.items():
-            outs[k].append(v[:keep])
+        if len(pending) >= max(1, inflight):
+            drain_one()
+    while pending:
+        drain_one()
     return {k: np.concatenate(v, 0) for k, v in outs.items()}
 
 
@@ -294,15 +303,32 @@ class NeRFSystem:
 
     def restore(self, path: str):
         ckpt = checkpoints.load_checkpoint(path)
-        from flax import serialization
-        self.params = serialization.from_state_dict(
-            self.params, ckpt["state_dict"])
         if "opt_state" in ckpt:
+            # our own full training checkpoint: strict resume with optimizer
+            # state and step counters
+            from flax import serialization
+            self.params = serialization.from_state_dict(
+                self.params, ckpt["state_dict"])
             self.opt_state = serialization.from_state_dict(
                 self.opt_state, ckpt["opt_state"])
-        self.start_epoch = int(ckpt.get("epoch", -1)) + 1
-        self.global_step = int(ckpt.get("global_step", 0))
-        print(f"[ckpt] restored {path} (resume at epoch {self.start_epoch})")
+            self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+            self.global_step = int(ckpt.get("global_step", 0))
+            print(f"[ckpt] restored {path} (resume at epoch "
+                  f"{self.start_epoch})")
+        else:
+            # stripped (save_weights_only) or partial checkpoint: non-strict
+            # per-submodule weight load honoring --prefixes_to_ignore
+            # (reference load_ckpt, utils/__init__.py:84-88); training state
+            # starts fresh
+            prefixes = tuple(getattr(self.hparams, "prefixes_to_ignore",
+                                     ("loss",)) or ())
+            self.params = checkpoints.load_into(self.params, ckpt, prefixes)
+            loaded = sorted(
+                name for name in set(self.params) & set(
+                    ckpt.get("state_dict", ckpt))
+                if not any(name.startswith(p) for p in prefixes))
+            print(f"[ckpt] loaded weights (non-strict) from {path}: "
+                  f"{', '.join(loaded)}")
 
     # -- validation ----------------------------------------------------
     def run_validation(self, epoch: int, max_images: Optional[int] = None):
@@ -385,6 +411,26 @@ class NeRFSystem:
                     if dt > 0:
                         m["train/rays_per_sec"] = n_rays / dt
                     self.logger.scalars(m, self.global_step)
+                    self._last_metrics = (self.global_step, m)
+                refresh = getattr(h, "refresh_every", 0) or 0
+                if refresh > 0 and self.global_step % refresh == 0:
+                    # console progress line (reference --refresh_every,
+                    # opt.py:106-107: the progress-bar refresh cadence).
+                    # Reuses the most recently fetched metrics so printing
+                    # never forces a device sync mid-epoch.
+                    dt = time.time() - t0
+                    rps = n_rays / dt if dt > 0 else 0.0
+                    seen, m = getattr(self, "_last_metrics",
+                                      (None, {}))
+                    tail = ""
+                    if seen is not None:
+                        tail = (f" loss={m.get('train/loss', float('nan')):.4f}"
+                                f" psnr={m.get('train/psnr', float('nan')):.2f}"
+                                f" (step {seen})")
+                    print(f"epoch {epoch} step {self.global_step} "
+                          f"{rps:,.0f} rays/s{tail}",
+                          end="\r" if sys.stdout.isatty() else "\n",
+                          flush=True)
                 self.global_step += 1
 
             val_loss, val_psnr, viz = self.run_validation(epoch + 1)

@@ -98,6 +98,52 @@ def test_resume_from_checkpoint(blender_scene, tmp_path):
     assert os.path.exists(os.path.join(save, 'resume', 'epoch=1.ckpt'))
 
 
+def test_resume_from_stripped_checkpoint(blender_scene, tmp_path):
+    """--ckpt_path pointing at a save_weights_only-stripped ckpt loads the
+    weights non-strictly (reference load_ckpt + --prefixes_to_ignore,
+    utils/__init__.py:84-88) and starts training fresh."""
+    import subprocess
+    import sys as _sys
+
+    save = str(tmp_path / "ckpts")
+    args = ['--root_dir', blender_scene, '--dataset_name', 'blender',
+            '--img_wh', '40', '40', '--exp_name', 'strip',
+            '--save_path', save] + FAST
+    s1 = run_system(args)
+    ckpt = os.path.join(save, 'strip', 'epoch=0.ckpt')
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, 'tools', 'save_weights_only.py'),
+         '--ckpt_path', ckpt], capture_output=True, text=True, cwd=repo)
+    assert out.returncode == 0, out.stderr
+    stripped = os.path.join(save, 'strip', 'epoch=0_weights.ckpt')
+    assert os.path.exists(stripped)
+
+    hp = get_opts(args + ['--ckpt_path', stripped])
+    s2 = NeRFSystem(hp, logger=NullLogger())
+    s2.setup()
+    s2.configure()
+    # weights came over; training state did not
+    assert s2.start_epoch == 0 and s2.global_step == 0
+    np.testing.assert_array_equal(
+        np.asarray(s2.params['nerf_coarse']['xyz'][0]['w']),
+        np.asarray(s1.params['nerf_coarse']['xyz'][0]['w']))
+    s2.fit()  # trains end to end from the pretrained weights
+
+
+def test_refresh_every_progress_line(blender_scene, tmp_path, capsys):
+    """--refresh_every drives a console progress line (reference
+    opt.py:106-107); it must be observable and not crash the loop."""
+    run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                '--img_wh', '40', '40', '--exp_name', 'prog',
+                '--save_path', str(tmp_path / "ck"), '--refresh_every', '10']
+               + FAST)
+    out = capsys.readouterr().out
+    assert 'rays/s' in out
+    assert 'step 10' in out or 'step 20' in out
+
+
 def test_multichip_cli_train(blender_scene, tmp_path):
     """--num_gpus 8 drives the data-parallel mesh over the virtual devices."""
     system = run_system(['--root_dir', blender_scene, '--dataset_name',
