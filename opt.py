@@ -108,7 +108,9 @@ def get_parser():
     parser.add_argument('--save_path', type=str, default='./ckpts',
                         help='paths to save checkpoints to')
     parser.add_argument('--refresh_every', type=int, default=1,
-                        help='print the progress bar every X steps')
+                        help='console progress-line cadence in steps (0 '
+                             'disables; uses the last logged metrics, so '
+                             'printing never syncs the device)')
 
     # ---- TPU-native extras (not in the reference CLI) ----
     parser.add_argument('--compute_dtype', type=str, default='float32',
