@@ -12,6 +12,11 @@ import pytest
 @pytest.mark.parametrize("script", [
     "notebooks/render_decomposition.py",
     "notebooks/appearance_interpolation.py",
+    "notebooks/psnr_regression.py",
+    "notebooks/test_nerfa_color.py",
+    "notebooks/test_nerfu_occ.py",
+    "notebooks/test_nerfw_all.py",
+    "notebooks/test_phototourism.py",
     "tools/gen_nerf_tsv.py",
     "tools/save_weights_only.py",
     "tools/build_native.py",
@@ -34,3 +39,38 @@ def test_script_help(script, flag):
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "usage" in r.stdout.lower()
+
+
+def test_psnr_regression_flow(blender_scene, tmp_path):
+    """The notebook-parity regression runs end to end on a tiny NeRF-W
+    checkpoint: per-image PSNRs printed, grids + decomposition saved."""
+    import types
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "notebooks"))
+    import test_nerfw_all  # noqa: E402
+
+    from nerf_fl_tpu.render import RenderConfig
+    from nerf_fl_tpu.training import checkpoints
+    from nerf_fl_tpu.training.system import build_params
+
+    cfg = RenderConfig(N_samples=8, N_importance=8, encode_a=True,
+                       encode_t=True)
+    params = build_params(jax.random.PRNGKey(0), cfg, 8)
+    ckpt = os.path.join(tmp_path, "tiny.ckpt")
+    checkpoints.save_checkpoint(ckpt, params)
+
+    out = os.path.join(tmp_path, "reg")
+    report = test_nerfw_all.main([
+        '--root_dir', blender_scene, '--img_wh', '40', '40',
+        '--N_samples', '8', '--N_importance', '8', '--N_vocab', '8',
+        '--chunk', '4096', '--ckpt_path', ckpt, '--out', out])
+    assert any(k.startswith('test_train[1]') for k in report)
+    assert any(k.startswith('val[0]') for k in report)
+    assert all(np.isfinite(v) for v in report.values())
+    assert os.path.exists(os.path.join(out,
+                                       'test_train_1_gt_pred_depth.png'))
+    assert os.path.exists(os.path.join(out,
+                                       'test_train_1_decomposition.png'))
