@@ -6,13 +6,17 @@ N_importance 64, batch 1024 — the shape trained on lego 400^2.  The number
 reported is end-to-end train-step throughput including host batch gather,
 loss, backward and the Adam update.
 
-Baseline: the reference publishes NO throughput numbers (SURVEY.md section 6),
-so vs_baseline is computed against a documented estimate of the reference's
-training speed on its own hardware (1x RTX 2080 Ti): ~6000 rays/s — from
-nerf_pl-family NeRF-W training at batch 1024 running ~5-6 it/s.  The driver
-target is >= 5x that on one v5e chip (BASELINE.json).
+Baselines (the reference publishes NO throughput numbers, SURVEY.md sec. 6):
+  * vs_baseline — against a documented ESTIMATE of the reference's training
+    speed on its own hardware (1x RTX 2080 Ti): ~6000 rays/s, i.e. ~5-6 it/s
+    at batch 1024 for nerf_pl-family NeRF-W.  Labeled an estimate because no
+    CUDA hardware exists here to measure it.
+  * vs_reference_cpu_same_host — MEASURED: the actual torch reference
+    (imported from /root/reference) running the identical 64+64/b1024
+    NeRF-W train step on this host's CPU.  Measured once and cached in
+    REF_CPU_BENCH.json (delete it or set BENCH_REMEASURE_REF=1 to re-run).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -22,6 +26,96 @@ import time
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC_2080TI = 6000.0  # documented estimate, see docstring
+REF_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "REF_CPU_BENCH.json")
+
+
+def measure_reference_cpu(batch_size=1024, steps=None):
+    """Time the torch reference's NeRF-W train step (64+64) on this host CPU.
+
+    Imports the UNTRUSTED reference read-only (the framework itself never
+    does); returns rays/s or None if the reference can't run here.
+    """
+    steps = steps or int(os.environ.get("BENCH_REF_STEPS", 5))
+    try:
+        import types
+
+        if "/root/reference" not in sys.path:
+            sys.path.append("/root/reference")  # APPEND: repo modules win
+        if "torch_optimizer" not in sys.modules:
+            sys.modules["torch_optimizer"] = types.ModuleType(
+                "torch_optimizer")
+        import torch
+        from models.nerf import NeRF, PosEmbedding
+        from models.rendering import render_rays
+        from losses import NerfWLoss
+
+        torch.manual_seed(0)
+        embeddings = {"xyz": PosEmbedding(9, 10), "dir": PosEmbedding(3, 4),
+                      "a": torch.nn.Embedding(1500, 48),
+                      "t": torch.nn.Embedding(1500, 16)}
+        models = {
+            "coarse": NeRF("coarse"),
+            "fine": NeRF("fine", encode_appearance=True, in_channels_a=48,
+                         encode_transient=True, in_channels_t=16,
+                         beta_min=0.1)}
+        params = (list(models["coarse"].parameters())
+                  + list(models["fine"].parameters())
+                  + list(embeddings["a"].parameters())
+                  + list(embeddings["t"].parameters()))
+        opt = torch.optim.Adam(params, lr=5e-4, eps=1e-8)
+        loss_fn = NerfWLoss()
+
+        g = torch.Generator().manual_seed(0)
+        o = torch.randn(batch_size, 3, generator=g)
+        d = torch.randn(batch_size, 3, generator=g)
+        d = d / d.norm(dim=-1, keepdim=True)
+        rays = torch.cat([o, d, torch.full((batch_size, 1), 2.0),
+                          torch.full((batch_size, 1), 6.0)], 1)
+        ts = torch.randint(0, 1500, (batch_size,), generator=g)
+        rgbs = torch.rand(batch_size, 3, generator=g)
+
+        def step():
+            opt.zero_grad()
+            results = render_rays(
+                models, embeddings, rays, ts, N_samples=64, use_disp=False,
+                perturb=1.0, noise_std=0.0, N_importance=64, chunk=1 << 20,
+                white_back=True, test_time=False)
+            loss_d = loss_fn(results, rgbs)
+            loss = sum(v for v in loss_d.values())
+            loss.backward()
+            opt.step()
+
+        for _ in range(2):  # warmup
+            step()
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step()
+        dt = time.perf_counter() - t0
+        return steps * batch_size / dt
+    except Exception as e:
+        print(f"[bench] reference CPU measurement failed: {e}",
+              file=sys.stderr)
+        return None
+
+
+def reference_cpu_rays_per_sec():
+    """Cached measured comparator (BASELINE.md: measured, not cited)."""
+    if not os.environ.get("BENCH_REMEASURE_REF") and \
+            os.path.exists(REF_CPU_CACHE):
+        with open(REF_CPU_CACHE) as f:
+            return json.load(f)["rays_per_sec"]
+    print("[bench] measuring torch reference train step on host CPU...",
+          file=sys.stderr)
+    r = measure_reference_cpu()
+    if r is not None:
+        with open(REF_CPU_CACHE, "w") as f:
+            json.dump({"rays_per_sec": round(r, 1),
+                       "workload": "NeRF-W 64+64 b1024 train step",
+                       "hardware": "host CPU (torch, /root/reference)"}, f,
+                      indent=1)
+        print(f"[bench] reference CPU: {r:.1f} rays/s", file=sys.stderr)
+    return r
 
 
 def main():
@@ -110,7 +204,12 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_2080TI, 2),
+        "baseline_note": "vs documented 2080Ti estimate (6000 rays/s)",
     }
+    ref_cpu = reference_cpu_rays_per_sec()
+    if ref_cpu:
+        result["reference_cpu_rays_per_sec"] = round(ref_cpu, 1)
+        result["vs_reference_cpu_same_host"] = round(rays_per_sec / ref_cpu, 2)
     print(json.dumps(result))
 
 

@@ -1,47 +1,120 @@
-"""Fused NeRF-W MLP as a Pallas TPU kernel (forward + custom VJP).
+"""Fused positional-encoding + NeRF-W MLP as a Pallas TPU kernel (fwd + VJP).
 
-Why: the MLP dominates the train step, and XLA's layer-by-layer lowering
-round-trips every (N, 256) activation through HBM — measured ~8 ms forward /
-~29 ms backward for the fine pass at N=524k on v5e, right at the HBM
-roofline.  This kernel runs the WHOLE network (trunk with skip, xyz_final +
-sigma head, dir/rgb branch, optional 4-layer transient branch) for a tile of
-sample points without leaving VMEM; the backward kernel recomputes the
-forward per tile (flash-attention-style rematerialization) and accumulates
-weight gradients across the sequential TPU grid.
+Why: the MLP dominates the train step and the XLA lowering is HBM-bound —
+every inter-layer (N, 256) activation round-trips HBM, and the positional
+encodings are materialized as (N, 63)/(N, 75)/(N, 16) f32 arrays that each
+physically occupy (N, 128) lanes in HBM.  Measured on v5e at N=524k, bf16:
+XLA MLP fwd 8.2 ms / fwd+bwd 22.1 ms, plus ~4 ms of PE + packing.
 
-Layout rules (see pallas_guide): every feature dim is padded to a multiple of
-128 lanes; biases ride as (1, dim) rows; weight gradients are f32 VMEM
-accumulators with a constant output index map (grid-sequential reduction).
+This kernel runs PE -> trunk(8x256, skip@4) -> heads -> transient branch for
+a tile of sample points entirely in VMEM:
 
-Head packing: the kernel emits PRE-activation heads packed into 128-lane
-blocks (static: [rgb(3) | sigma(1)], transient: [rgb(3) | sigma(1) |
-beta(1)]); sigmoid/softplus run outside where XLA fuses them into the
-compositor.
+  * ONE packed (N, 128) f32 input: [xyz(3) | dir(3) | a(a_dim) | t(16)].
+  * In-kernel positional encoding with NO matmuls and NO libm trig:
+      - E = sum_c broadcast(inp[:, c]) * row_c — three VPU fused
+        multiply-adds per encoder against constant (1, 128) frequency rows
+        (f32-exact; an f32 MXU projector costs ~0.7 ms per encoder at 1/8
+        rate, and bf16 would destroy the 2^k * x arguments);
+      - trig = _pe_trig(E, quarter_turns): Cody-Waite reduction + odd
+        polynomial, with cos as a +1/4-turn phase applied after reduction
+        in turn units (measured: full-width libm jnp.sin costs 3 ms per
+        (524k, 128) f32 array on v5e — it dominated the whole kernel);
+      - the appearance / transient identity columns move by lane rolls.
+    Column order matches the reference exactly ([x, sin f0 x, cos f0 x,
+    sin f1 x, ...], reference models/nerf.py:14-32; core/encoding.py here).
+    The per-column ``scale`` row doubles as the BARF annealing hook
+    (reference nerf.py:61-77): identity columns 1, frequency blocks carry
+    the annealing weight, padding 0.
+  * Head packing IS the weight padding: the rgb / sigma / transient heads
+    write disjoint columns of one (N, 128) f32 output because their padded
+    weight matrices have zeros everywhere else.  No masks or rolls — and in
+    the backward pass the zero columns also zero out all cross-terms, so the
+    full output cotangent can be pushed through every head unmasked.
+  * Hidden layers accumulate matmuls in f32 (Mosaic requires 32-bit
+    accumulators), round to the compute dtype, then run bias+relu in bf16 —
+    the same rounding point as the XLA path (models/mlp.py:_dense); heads
+    emit f32.
+  * The backward kernel recomputes the forward per tile (flash-attention
+    style) and accumulates weight grads in f32 VMEM across the sequential
+    grid; d(input) is one packed (N, 128) f32 array assembled by per-column
+    reductions + reverse rolls, which XLA's autodiff of the (traced) packing
+    concat routes back to xyz / dir / embeddings.
+
+Replaces the hot loop at reference rendering.py:119-130 (chunked PE + MLP).
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+import os as _os
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import os as _os
-TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))       # bwd tile
-TILE_FWD = int(_os.environ.get("FUSED_MLP_TILE_FWD", str(TILE)))
+TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))            # bwd tile
+TILE_FWD = int(_os.environ.get("FUSED_MLP_TILE_FWD", 2048))   # fwd tile
 LANES = 128
 
-# padded dims
-IN_X = 128          # xyz_emb (63) -> 128
-IN_D = 128          # dir(27) [+ a(48)] = 27..75 -> 128
-IN_T = 128          # t_emb (16) -> 128
+IN_X = 128          # pe(xyz): 63 -> 128
 W_TRUNK = 256
 W_HALF = 128
 SKIP_IN = IN_X + W_TRUNK        # 384
-FS_OUT = W_TRUNK + LANES        # xyz_final(256) | sigma col | pad -> 384
-BR_IN = W_TRUNK + LANES         # xyz_final(256) + dir_a/t pad -> 384
+FS_OUT = W_TRUNK + LANES        # [xyz_final(256) | sigma @ col 256+3] -> 384
+BR_IN = W_TRUNK + LANES         # [xyz_final | dir-tail/t-tail pad] -> 384
+
+# packed output columns
+COL_S_RGB = 0       # 0..2
+COL_S_SIGMA = 3
+COL_T_RGB = 4       # 4..6
+COL_T_SIGMA = 7
+COL_T_BETA = 8
+
+N_STATIC_W = 8 * 2 + 2 + 2 + 2   # trunk pairs + fs2 + dir + rgb-head
+N_TRANS_W = 5 * 2                # t0..t3 + fused transient heads
+N_ENC = 9  # PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma
+
+# sin(2*pi*u) odd minimax polynomial on u in [-0.5, 0.5], max err ~3e-7
+_SIN2PI = (6.2831834654095857, -41.341480259587343, 81.597655247118169,
+           -76.594899673933057, 41.269796373562237, -12.37227202917199)
+_INV_2PI = 0.15915494309189535
+# Cody-Waite split of 2*pi: HI has a 12-bit mantissa so n*HI (n <= ~2^10)
+# is exact in f32 and x - n*HI cancels without error
+_TWO_PI_HI = 6.28125
+_TWO_PI_LO = 0.0019353071795864769
+
+
+def _pe_trig(x, quarter_turns=0.0):
+    """sin(x + 2*pi*quarter_turns) via Cody-Waite range reduction + odd
+    polynomial — ~3x cheaper than the libm-grade lowering.
+
+    The phase offset is applied AFTER reduction, in turn units, where it is
+    exact — adding pi/2 to a large f32 argument would round the phase into
+    the argument's ulp grid (1e-4 at |x|~3000), which the x512 frequency
+    amplification of the xyz-PE backward turns into visible gradient error.
+    The two-constant reduction keeps the phase error ~2e-7 for |x| up to
+    ~2^13 (the PE argument range: 2^9 * scene coords), so results match the
+    exact f32 sin/cos to ~1e-6."""
+    n = jnp.round(x * _INV_2PI)
+    r = x - n * _TWO_PI_HI
+    r = r - n * _TWO_PI_LO
+    u = r * _INV_2PI + quarter_turns
+    u = u - jnp.round(u)  # [-0.5, 0.5]
+    u2 = u * u
+    p = _SIN2PI[5]
+    for k in (4, 3, 2, 1, 0):
+        p = p * u2 + _SIN2PI[k]
+    return p * u
+
+
+def _fast_sin(x):
+    return _pe_trig(x)
+
+
+def _fast_cos(x):
+    return _pe_trig(x, 0.25)
 
 
 def _pad_to(x, rows=None, cols=None):
@@ -52,22 +125,82 @@ def _pad_to(x, rows=None, cols=None):
     return jnp.pad(x, ((0, r), (0, c)))
 
 
+# ----------------------------------------------------------------------
+# encoder constants (pure numpy, cached)
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _encoder_consts(n_freq_xyz: int, n_freq_dir: int, a_dim: int):
+    """Constant frequency rows + phase/trig/mask rows.
+
+    PxR/PdR: (3, 128) — row c holds the coefficient of input component c
+    for every PE output column ({1 on the identity column, 2^k on that
+    frequency's sin AND cos columns}; zero elsewhere, so accumulated E has
+    no garbage lanes).  ph rows are quarter-turn phases (0.25 on cos
+    columns), trg rows mark trig columns, ma marks the appearance identity
+    columns of the dir-tail.  Column layout matches core/encoding.posenc:
+    [x(3), sin(f0 x)(3), cos(f0 x)(3), sin(f1 x)(3), ...], f_k = 2^k.
+    Input column layout: [xyz 0:3 | dir 3:6 | a 6:6+a_dim | t ...:+16].
+    """
+    def pe_rows(n_freq):
+        R = np.zeros((3, LANES), np.float32)
+        ph = np.zeros((1, LANES), np.float32)
+        trg = np.zeros((1, LANES), np.float32)
+        for c in range(3):
+            R[c, c] = 1.0  # identity block
+        for k in range(n_freq):
+            f = float(2.0 ** k)
+            base = 3 + 6 * k
+            for c in range(3):
+                R[c, base + c] = f            # sin block
+                R[c, base + 3 + c] = f        # cos block
+                trg[0, base + c] = 1.0
+                trg[0, base + 3 + c] = 1.0
+                ph[0, base + 3 + c] = 0.25    # cos = sin(+1/4 turn)
+        return R, ph, trg
+
+    PxR, phx, trgx = pe_rows(n_freq_xyz)
+    PdR, phd, trgd = pe_rows(n_freq_dir)
+    d_pe_dim = 3 + 6 * n_freq_dir
+    ma = np.zeros((1, LANES), np.float32)
+    ma[0, d_pe_dim:d_pe_dim + a_dim] = 1.0
+    return {"PxR": PxR, "phx": phx, "trgx": trgx,
+            "PdR": PdR, "phd": phd, "trgd": trgd, "ma": ma}
+
+
+def default_scale_rows(n_freq_xyz: int, n_freq_dir: int, a_dim: int,
+                       barf_w_xyz=None, barf_w_dir=None):
+    """(1,128) per-column scale rows: 1 on identity cols, the BARF annealing
+    weight (or 1) on each frequency's sin/cos block, 0 on padding."""
+    def row(n_freq, extra_ident, w):
+        ident = jnp.ones((3,), jnp.float32)
+        wf = jnp.ones((n_freq,), jnp.float32) if w is None \
+            else jnp.asarray(w, jnp.float32)
+        freq = jnp.repeat(wf, 6)
+        tail = jnp.ones((extra_ident,), jnp.float32)
+        r = jnp.concatenate([ident, freq, tail])
+        return jnp.pad(r, (0, LANES - r.shape[0]))[None, :]
+    return (row(n_freq_xyz, 0, barf_w_xyz),
+            row(n_freq_dir, a_dim, barf_w_dir))
+
+
+# ----------------------------------------------------------------------
+# weight packing
+# ----------------------------------------------------------------------
+
 def pack_weights(params: Dict[str, Any], a_dim: int, has_transient: bool,
                  dtype=jnp.bfloat16):
-    """Pad the parameter pytree into the kernel's fixed layout.
-
-    Returns a flat list of arrays in kernel argument order.
-    """
+    """Pad the parameter pytree into the kernel's fixed layout (flat list in
+    kernel argument order).  Head columns land at their packed output
+    positions; all padding is zero, which the backward pass relies on."""
     f32 = jnp.float32
     ws = []
-    # trunk: W0 (128,256); W1-3 (256,256); W4 skip (384,256); W5-7 (256,256)
     n_xyz_in = params["xyz"][0]["w"].shape[0]  # 63 unpadded
     for i, layer in enumerate(params["xyz"]):
         if i == 0:
             w = _pad_to(layer["w"], rows=IN_X)
         elif i == 4:
-            # kernel concat is [x_pad(128) | h(256)]: the x rows must land at
-            # 0..n_xyz_in with a zero gap up to IN_X, then the h rows
+            # kernel concat is [pe(128) | h(256)]: pe rows land at 0..62
             w = jnp.concatenate([
                 _pad_to(layer["w"][:n_xyz_in], rows=IN_X),
                 layer["w"][n_xyz_in:]], axis=0)
@@ -75,13 +208,15 @@ def pack_weights(params: Dict[str, Any], a_dim: int, has_transient: bool,
             w = layer["w"]
         ws.append(w.astype(dtype))
         ws.append(_pad_to(layer["b"].reshape(1, -1)).astype(f32))
-    # fused xyz_final | static_sigma: (256, 384)
-    wfs = jnp.concatenate([
-        params["xyz_final"]["w"],
-        _pad_to(params["static_sigma"]["w"], cols=LANES)], axis=1)
+    # fs2 = [xyz_final(256) | static_sigma at col 256+COL_S_SIGMA]: (256, 384)
+    sig_cols = jnp.zeros((W_TRUNK, LANES), f32)
+    sig_cols = sig_cols.at[:, COL_S_SIGMA:COL_S_SIGMA + 1].set(
+        params["static_sigma"]["w"])
+    wfs = jnp.concatenate([params["xyz_final"]["w"], sig_cols], axis=1)
     bfs = jnp.concatenate([
         params["xyz_final"]["b"],
-        _pad_to(params["static_sigma"]["b"], cols=LANES)])
+        jnp.zeros((LANES,), f32).at[COL_S_SIGMA].set(
+            params["static_sigma"]["b"][0])])
     ws.append(wfs.astype(dtype))
     ws.append(bfs.reshape(1, -1).astype(f32))
     # dir branch: (384, 128) from (256 + 27 + a_dim)
@@ -90,7 +225,7 @@ def pack_weights(params: Dict[str, Any], a_dim: int, has_transient: bool,
         wd[:W_TRUNK], _pad_to(wd[W_TRUNK:], rows=LANES)], axis=0)
     ws.append(wd.astype(dtype))
     ws.append(_pad_to(params["dir"]["b"].reshape(1, -1)).astype(f32))
-    # static rgb head: (128, 128)
+    # static rgb head at output cols 0..2
     ws.append(_pad_to(params["static_rgb"]["w"], cols=LANES).astype(dtype))
     ws.append(_pad_to(params["static_rgb"]["b"].reshape(1, -1),
                       cols=LANES).astype(f32))
@@ -104,13 +239,17 @@ def pack_weights(params: Dict[str, Any], a_dim: int, has_transient: bool,
         for layer in tp["layers"][1:]:
             ws.append(layer["w"].astype(dtype))
             ws.append(layer["b"].reshape(1, -1).astype(f32))
-        # fused transient heads: [rgb(3) | sigma(1) | beta(1)] (128, 128)
-        wth = jnp.concatenate(
-            [tp["rgb"]["w"], tp["sigma"]["w"], tp["beta"]["w"]], axis=1)
-        bth = jnp.concatenate(
-            [tp["rgb"]["b"], tp["sigma"]["b"], tp["beta"]["b"]])
-        ws.append(_pad_to(wth, cols=LANES).astype(dtype))
-        ws.append(_pad_to(bth.reshape(1, -1), cols=LANES).astype(f32))
+        # transient heads at output cols 4..8: [rgb(3) | sigma | beta]
+        wth = jnp.zeros((W_HALF, LANES), f32)
+        wth = wth.at[:, COL_T_RGB:COL_T_RGB + 3].set(tp["rgb"]["w"])
+        wth = wth.at[:, COL_T_SIGMA:COL_T_SIGMA + 1].set(tp["sigma"]["w"])
+        wth = wth.at[:, COL_T_BETA:COL_T_BETA + 1].set(tp["beta"]["w"])
+        bth = jnp.zeros((LANES,), f32)
+        bth = bth.at[COL_T_RGB:COL_T_RGB + 3].set(tp["rgb"]["b"])
+        bth = bth.at[COL_T_SIGMA].set(tp["sigma"]["b"][0])
+        bth = bth.at[COL_T_BETA].set(tp["beta"]["b"][0])
+        ws.append(wth.astype(dtype))
+        ws.append(bth.reshape(1, -1).astype(f32))
     return ws
 
 
@@ -132,9 +271,9 @@ def unpack_weight_grads(grads, params, a_dim: int, has_transient: bool):
     dbfs = next(it)
     out["xyz_final"] = {"w": dwfs[:, :W_TRUNK].astype(jnp.float32),
                         "b": dbfs[0, :W_TRUNK].astype(jnp.float32)}
-    out["static_sigma"] = {
-        "w": dwfs[:, W_TRUNK:W_TRUNK + 1].astype(jnp.float32),
-        "b": dbfs[0, W_TRUNK:W_TRUNK + 1].astype(jnp.float32)}
+    c = W_TRUNK + COL_S_SIGMA
+    out["static_sigma"] = {"w": dwfs[:, c:c + 1].astype(jnp.float32),
+                           "b": dbfs[0, c:c + 1].astype(jnp.float32)}
     dwd = next(it)
     dbd = next(it)
     nd = params["dir"]["w"].shape[0] - W_TRUNK  # 27 + a_dim
@@ -160,84 +299,107 @@ def unpack_weight_grads(grads, params, a_dim: int, has_transient: bool):
                                  "b": db[0].astype(jnp.float32)})
         dwth = next(it)
         dbth = next(it)
-        tp["rgb"] = {"w": dwth[:, 0:3].astype(jnp.float32),
-                     "b": dbth[0, 0:3].astype(jnp.float32)}
-        tp["sigma"] = {"w": dwth[:, 3:4].astype(jnp.float32),
-                       "b": dbth[0, 3:4].astype(jnp.float32)}
-        tp["beta"] = {"w": dwth[:, 4:5].astype(jnp.float32),
-                      "b": dbth[0, 4:5].astype(jnp.float32)}
+        tp["rgb"] = {"w": dwth[:, COL_T_RGB:COL_T_RGB + 3].astype(jnp.float32),
+                     "b": dbth[0, COL_T_RGB:COL_T_RGB + 3].astype(jnp.float32)}
+        tp["sigma"] = {
+            "w": dwth[:, COL_T_SIGMA:COL_T_SIGMA + 1].astype(jnp.float32),
+            "b": dbth[0, COL_T_SIGMA:COL_T_SIGMA + 1].astype(jnp.float32)}
+        tp["beta"] = {
+            "w": dwth[:, COL_T_BETA:COL_T_BETA + 1].astype(jnp.float32),
+            "b": dbth[0, COL_T_BETA:COL_T_BETA + 1].astype(jnp.float32)}
         out["transient"] = tp
     return out
 
 
-def _col_mask(n_cols: int, upto: int, dtype):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
-    return (iota < upto).astype(dtype)
+# ----------------------------------------------------------------------
+# in-kernel encoders
+# ----------------------------------------------------------------------
+
+def _accum_pe(inp, rows_ref, src_off, tile):
+    """E = sum_c broadcast(inp[:, src_off+c]) * rows[c] — VPU-only, f32."""
+    E = jnp.broadcast_to(inp[:, src_off:src_off + 1],
+                         (tile, LANES)) * rows_ref[0:1, :]
+    for c in (1, 2):
+        E = E + jnp.broadcast_to(inp[:, src_off + c:src_off + c + 1],
+                                 (tile, LANES)) * rows_ref[c:c + 1, :]
+    return E
 
 
-N_TRUNK_W = 8 * 2          # (w, b) x 8
-N_STATIC_W = N_TRUNK_W + 6  # + fs, dir, rgb pairs
-N_TRANS_W = 5 * 2          # t0..t3 + fused heads
+def _encode_inputs(inp, enc, a_shift, t_shift, dtype, tile, has_transient):
+    """Returns (pe_x, d_tail, t_tail, Ex, Ed) — the bf16 network inputs and
+    the raw f32 pre-trig accumulators (reused by the backward pass)."""
+    PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma = enc
+    Ex = _accum_pe(inp, PxR, 0, tile)
+    pe_x = (jnp.where(trgx[:] > 0, _pe_trig(Ex, phx[:]), Ex)
+            * sx[:]).astype(dtype)
+    Ed = _accum_pe(inp, PdR, 3, tile)
+    d_tail_f = jnp.where(trgd[:] > 0, _pe_trig(Ed, phd[:]), Ed) * sd[:]
+    if a_shift:
+        d_tail_f = jnp.where(ma[:] > 0, pltpu.roll(inp, shift=a_shift,
+                                                   axis=1), d_tail_f)
+    d_tail = d_tail_f.astype(dtype)
+    t_tail = None
+    if has_transient:
+        # garbage lanes beyond col 16 hit zero-padded W_t0 rows: no mask
+        t_tail = pltpu.roll(inp, shift=t_shift, axis=1).astype(dtype)
+    return pe_x, d_tail, t_tail, Ex, Ed
 
 
-def _fwd_kernel(has_transient, dtype, *refs):
-    """refs: [weights..., x, dira, (temb)], [out_s, (out_t)]"""
+# ----------------------------------------------------------------------
+# kernels
+# ----------------------------------------------------------------------
+
+def _fwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
+    """refs (in): [weights..., PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma,
+                   inp]; (out): [out]"""
     nw = N_STATIC_W + (N_TRANS_W if has_transient else 0)
     w = refs[:nw]
-    if has_transient:
-        x_ref, d_ref, t_ref, os_ref, ot_ref = refs[nw:]
-    else:
-        x_ref, d_ref, os_ref = refs[nw:]
+    enc = refs[nw:nw + N_ENC]
+    inp_ref = refs[nw + N_ENC]
+    out_ref = refs[nw + N_ENC + 1]
 
-    def dense(a, wi, relu=True):
+    def dense(a, wi):
+        # Mosaic requires 32-bit matmul accumulators; round to the compute
+        # dtype before bias+relu (same rounding point as the XLA path)
         y = jnp.dot(a, w[wi][:], preferred_element_type=jnp.float32)
-        y = y + w[wi + 1][:]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        return y.astype(dtype)
+        return jnp.maximum(y.astype(dtype) + w[wi + 1][:].astype(dtype), 0)
 
-    x = x_ref[:].astype(dtype)
-    h = x
+    inp = inp_ref[:]  # (T, 128) f32
+    pe, d_tail, t_tail, _, _ = _encode_inputs(
+        inp, enc, a_shift, t_shift, dtype, tile, has_transient)
+
+    h = pe
     for i in range(8):
         if i == 4:
-            h = jnp.concatenate([x, h], axis=-1)
+            h = jnp.concatenate([pe, h], axis=-1)
         h = dense(h, 2 * i)
-    fs = dense(h, 16, relu=False)                      # (T, 384)
-    xyz_final = fs[:, :W_TRUNK]
-    sigma = fs[:, W_TRUNK:W_TRUNK + LANES]             # col 0 is sigma
-    din = jnp.concatenate([xyz_final, d_ref[:].astype(dtype)], axis=-1)
+    fs2 = jnp.dot(h, w[16][:], preferred_element_type=jnp.float32) + w[17][:]
+    xyz_final = fs2[:, :W_TRUNK].astype(dtype)
+    din = jnp.concatenate([xyz_final, d_tail], axis=-1)
     hd = dense(din, 18)
-    rgb = dense(hd, 20, relu=False)                    # (T, 128) cols 0-2
-    # pack [rgb(3) | sigma(1)]
-    m3 = _col_mask(LANES, 3, jnp.float32)
-    os_ref[:] = (rgb.astype(jnp.float32) * m3 +
-                 pltpu.roll(sigma.astype(jnp.float32) * _col_mask(
-                     LANES, 1, jnp.float32), shift=3, axis=1))
+    out = (jnp.dot(hd, w[20][:], preferred_element_type=jnp.float32)
+           + w[21][:] + fs2[:, W_TRUNK:])              # rgb cols + sigma col
     if has_transient:
-        tin = jnp.concatenate([xyz_final, t_ref[:].astype(dtype)], axis=-1)
+        tin = jnp.concatenate([xyz_final, t_tail], axis=-1)
         th = dense(tin, 22)
         for k in range(3):
             th = dense(th, 24 + 2 * k)
-        tout = dense(th, 30, relu=False)               # cols 0-4
-        ot_ref[:] = tout.astype(jnp.float32) * _col_mask(LANES, 5, jnp.float32)
+        out = out + (jnp.dot(th, w[30][:],
+                             preferred_element_type=jnp.float32) + w[31][:])
+    out_ref[:] = out
 
 
-def _bwd_kernel(has_transient, dtype, *refs):
-    """refs: [weights..., x, dira, (temb), g_s, (g_t)],
-    outs: [dW/db..., dx, ddira, (dtemb)]"""
+def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
+    """refs (in): [weights..., encoder consts..., inp, g]
+       refs (out): [dW/db..., d_inp]"""
     nw = N_STATIC_W + (N_TRANS_W if has_transient else 0)
     w = refs[:nw]
-    if has_transient:
-        x_ref, d_ref, t_ref, gs_ref, gt_ref = refs[nw:nw + 5]
-        outs = refs[nw + 5:]
-    else:
-        x_ref, d_ref, gs_ref = refs[nw:nw + 3]
-        outs = refs[nw + 3:]
+    enc = refs[nw:nw + N_ENC]
+    PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma = enc
+    inp_ref, g_ref = refs[nw + N_ENC:nw + N_ENC + 2]
+    outs = refs[nw + N_ENC + 2:]
     dw_out = outs[:nw]
-    if has_transient:
-        dx_ref, dd_ref, dt_ref = outs[nw:]
-    else:
-        dx_ref, dd_ref = outs[nw:]
+    din_ref = outs[nw]
 
     first = pl.program_id(0) == 0
 
@@ -252,12 +414,9 @@ def _bwd_kernel(has_transient, dtype, *refs):
             dw_out[idx][:] += dw
             dw_out[idx + 1][:] += db
 
-    def dense_fwd(a, wi, relu=True):
+    def dense_fwd(a, wi):
         y = jnp.dot(a, w[wi][:], preferred_element_type=jnp.float32)
-        y = y + w[wi + 1][:]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        return y.astype(dtype)
+        return jnp.maximum(y.astype(dtype) + w[wi + 1][:].astype(dtype), 0)
 
     def dense_bwd(a_in, act_out, g, wi, relu=True):
         """Returns d_a_in; accumulates dW, db.  g is f32 (T, out)."""
@@ -275,67 +434,92 @@ def _bwd_kernel(has_transient, dtype, *refs):
             preferred_element_type=jnp.float32)
         return da
 
-    # ---- forward recompute, keeping activations live in VMEM ----
-    x = x_ref[:].astype(dtype)
+    # ---- forward recompute, activations live in VMEM ----
+    inp = inp_ref[:]
+    pe, d_tail, t_tail, Ex, Ed = _encode_inputs(
+        inp, enc, a_shift, t_shift, dtype, tile, has_transient)
+
     acts_in, acts_out = [], []
-    h = x
+    h = pe
     for i in range(8):
         if i == 4:
-            h = jnp.concatenate([x, h], axis=-1)
+            h = jnp.concatenate([pe, h], axis=-1)
         acts_in.append(h)
         h = dense_fwd(h, 2 * i)
         acts_out.append(h)
-    fs = dense_fwd(acts_out[7], 16, relu=False)
-    xyz_final = fs[:, :W_TRUNK]
-    din = jnp.concatenate([xyz_final, d_ref[:].astype(dtype)], axis=-1)
+    fs2 = jnp.dot(h, w[16][:], preferred_element_type=jnp.float32) + w[17][:]
+    xyz_final = fs2[:, :W_TRUNK].astype(dtype)
+    din = jnp.concatenate([xyz_final, d_tail], axis=-1)
     hd = dense_fwd(din, 18)
 
     # ---- backward ----
-    gs = gs_ref[:]                                     # (T,128) f32
-    m3 = _col_mask(LANES, 3, jnp.float32)
-    g_rgb = gs * m3
-    g_sigma0 = pltpu.roll(gs * (jax.lax.broadcasted_iota(
-        jnp.int32, (1, LANES), 1) == 3).astype(jnp.float32),
-        shift=LANES - 3, axis=1)                       # sigma cot to col 0
-
-    d_hd = dense_bwd(hd, None, g_rgb, 20, relu=False)
+    g = g_ref[:]                                       # (T, 128) f32
+    # static rgb head (zero-padded cols kill all cross-terms)
+    d_hd = dense_bwd(hd, None, g, 20, relu=False)
     d_din = dense_bwd(din, hd, d_hd, 18)
     d_xf = d_din[:, :W_TRUNK]
-    dd_ref[:] = d_din[:, W_TRUNK:]
+    d_dtail = d_din[:, W_TRUNK:]
 
     if has_transient:
-        tin = jnp.concatenate([xyz_final, t_ref[:].astype(dtype)], axis=-1)
+        tin = jnp.concatenate([xyz_final, t_tail], axis=-1)
         tacts = [tin]
         th = dense_fwd(tin, 22)
         tacts.append(th)
         for k in range(3):
             th = dense_fwd(th, 24 + 2 * k)
             tacts.append(th)
-        gt = gt_ref[:] * _col_mask(LANES, 5, jnp.float32)
-        g = dense_bwd(tacts[4], None, gt, 30, relu=False)
+        gt = dense_bwd(tacts[4], None, g, 30, relu=False)
         for k in range(2, -1, -1):
-            g = dense_bwd(tacts[k + 1], tacts[k + 2], g, 24 + 2 * k)
-        d_tin = dense_bwd(tacts[0], tacts[1], g, 22)
+            gt = dense_bwd(tacts[k + 1], tacts[k + 2], gt, 24 + 2 * k)
+        d_tin = dense_bwd(tacts[0], tacts[1], gt, 22)
         d_xf = d_xf + d_tin[:, :W_TRUNK]
-        dt_ref[:] = d_tin[:, W_TRUNK:]
+        d_ttail = d_tin[:, W_TRUNK:]
 
-    # fs cotangent: [d_xyz_final | sigma cot in col 256]
-    d_fs = jnp.concatenate([d_xf, g_sigma0], axis=-1)
-    g = dense_bwd(acts_out[7], None, d_fs, 16, relu=False)
+    # fs2 cotangent: [d_xyz_final | g] — padded fs2 columns are zero, so the
+    # non-sigma columns of g contribute nothing through them
+    d_fs2 = jnp.concatenate([d_xf, g], axis=-1)
+    gg = dense_bwd(acts_out[7], None, d_fs2, 16, relu=False)
     for i in range(7, -1, -1):
-        g = dense_bwd(acts_in[i], acts_out[i], g, 2 * i)
+        gg = dense_bwd(acts_in[i], acts_out[i], gg, 2 * i)
         if i == 4:
-            dx_skip = g[:, :IN_X]
-            g = g[:, IN_X:]
-    dx_ref[:] = g + dx_skip
+            d_pe_skip = gg[:, :IN_X]
+            gg = gg[:, IN_X:]
+    d_pe = gg + d_pe_skip
+
+    # ---- PE backward: per-column chain rule, then project to input cols
+    # dE = where(trig, cos, 1) * scale * d_pe; d_inp[c] = sum(dE * row_c)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    dEx = jnp.where(trgx[:] > 0, _pe_trig(Ex, phx[:] + 0.25), 1.0) \
+        * sx[:] * d_pe
+    dEd = jnp.where(ma[:] > 0, 0.0,
+                    jnp.where(trgd[:] > 0, _pe_trig(Ed, phd[:] + 0.25), 1.0)
+                    * sd[:]) * d_dtail
+    d_inp = jnp.zeros((tile, LANES), jnp.float32)
+    for c in range(3):
+        sxc = jnp.sum(dEx * PxR[c:c + 1, :], axis=1, keepdims=True)
+        d_inp = d_inp + jnp.where(colid == c, sxc, 0.0)
+        sdc = jnp.sum(dEd * PdR[c:c + 1, :], axis=1, keepdims=True)
+        d_inp = d_inp + jnp.where(colid == 3 + c, sdc, 0.0)
+    if a_shift:
+        d_inp = d_inp + pltpu.roll(d_dtail * ma[:],
+                                   shift=(LANES - a_shift) % LANES, axis=1)
+    if has_transient:
+        # d_ttail lanes >= 16 are zero (zero-padded W_t0 rows)
+        d_inp = d_inp + pltpu.roll(d_ttail,
+                                   shift=(LANES - t_shift) % LANES, axis=1)
+    din_ref[:] = d_inp
 
 
-def _weight_specs(a_dim, has_transient, dtype):
+# ----------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------
+
+def _weight_specs(has_transient):
     shapes = []
     for i in range(8):
         rows = IN_X if i == 0 else (SKIP_IN if i == 4 else W_TRUNK)
         shapes += [(rows, W_TRUNK), (1, W_TRUNK)]
-    shapes += [(W_TRUNK, FS_OUT), (1, FS_OUT)]         # fused final|sigma
+    shapes += [(W_TRUNK, FS_OUT), (1, FS_OUT)]         # fs2
     shapes += [(BR_IN, W_HALF), (1, W_HALF)]           # dir
     shapes += [(W_HALF, LANES), (1, LANES)]            # rgb head
     if has_transient:
@@ -345,62 +529,79 @@ def _weight_specs(a_dim, has_transient, dtype):
     return shapes
 
 
+_ENC_SHAPES = [(3, LANES), (1, LANES), (1, LANES), (1, LANES),
+               (3, LANES), (1, LANES), (1, LANES), (1, LANES), (1, LANES)]
+
+
+def _enc_args(a_dim, n_freq_xyz, n_freq_dir, sx, sd):
+    c = _encoder_consts(n_freq_xyz, n_freq_dir, a_dim)
+    return [jnp.asarray(c["PxR"]), jnp.asarray(c["phx"]),
+            jnp.asarray(c["trgx"]), sx,
+            jnp.asarray(c["PdR"]), jnp.asarray(c["phd"]),
+            jnp.asarray(c["trgd"]), sd, jnp.asarray(c["ma"])]
+
+
+def _shifts(n_freq_dir, a_dim):
+    d_pe_dim = 3 + 6 * n_freq_dir
+    a_shift = (d_pe_dim - 6) if a_dim else 0       # inp col 6 -> dtail col 27
+    t_shift = (-(6 + a_dim)) % LANES               # inp t cols -> t_tail 0..15
+    return a_shift, t_shift
+
+
 @functools.partial(jax.jit, static_argnames=("a_dim", "has_transient",
-                                             "dtype_name", "interpret"))
-def _fused_fwd(ws, x, dira, temb, *, a_dim, has_transient, dtype_name,
-               interpret):
+                                             "dtype_name", "interpret",
+                                             "n_freq_xyz", "n_freq_dir"))
+def _fused_fwd(ws, inp, sx, sd, *, a_dim, has_transient, dtype_name,
+               interpret, n_freq_xyz, n_freq_dir):
     dtype = jnp.dtype(dtype_name)
-    n = x.shape[0]
+    n = inp.shape[0]
     grid = n // TILE_FWD
+    mem = pl.ANY if interpret else pltpu.VMEM
     tile_spec = lambda: pl.BlockSpec((TILE_FWD, LANES), lambda i: (i, 0),
-                                     memory_space=pltpu.ANY
-                                     if interpret else pltpu.VMEM)
-    w_specs = [pl.BlockSpec(s, lambda i: (0, 0),
-                            memory_space=pltpu.ANY if interpret
-                            else pltpu.VMEM)
-               for s in _weight_specs(a_dim, has_transient, dtype)]
-    ins = [*ws, x, dira] + ([temb] if has_transient else [])
-    in_specs = w_specs + [tile_spec(), tile_spec()] + \
-        ([tile_spec()] if has_transient else [])
-    out_shape = [jax.ShapeDtypeStruct((n, LANES), jnp.float32)]
-    out_specs = [tile_spec()]
-    if has_transient:
-        out_shape.append(jax.ShapeDtypeStruct((n, LANES), jnp.float32))
-        out_specs.append(tile_spec())
-    kernel = functools.partial(_fwd_kernel, has_transient, dtype)
+                                     memory_space=mem)
+    const_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=mem)
+    w_specs = [const_spec(s) for s in _weight_specs(has_transient)]
+    e_specs = [const_spec(s) for s in _ENC_SHAPES]
+    ins = [*ws, *_enc_args(a_dim, n_freq_xyz, n_freq_dir, sx, sd), inp]
+    in_specs = w_specs + e_specs + [tile_spec()]
+    a_shift, t_shift = _shifts(n_freq_dir, a_dim)
+    kernel = functools.partial(_fwd_kernel, has_transient, dtype,
+                               a_shift, t_shift, TILE_FWD)
     cp = None if interpret else pltpu.CompilerParams(
-        dimension_semantics=(_os.environ.get("FUSED_MLP_FWD_SEM", "parallel"),))
+        dimension_semantics=(_os.environ.get("FUSED_MLP_FWD_SEM",
+                                             "arbitrary"),))
     return pl.pallas_call(
-        kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, interpret=interpret,
+        kernel, grid=(grid,), in_specs=in_specs,
+        out_specs=tile_spec(),
+        out_shape=jax.ShapeDtypeStruct((n, LANES), jnp.float32),
+        interpret=interpret,
         **({} if cp is None else {"compiler_params": cp}))(*ins)
 
 
 @functools.partial(jax.jit, static_argnames=("a_dim", "has_transient",
-                                             "dtype_name", "interpret"))
-def _fused_bwd(ws, x, dira, temb, gs, gt, *, a_dim, has_transient,
-               dtype_name, interpret):
+                                             "dtype_name", "interpret",
+                                             "n_freq_xyz", "n_freq_dir"))
+def _fused_bwd(ws, inp, sx, sd, g, *, a_dim, has_transient, dtype_name,
+               interpret, n_freq_xyz, n_freq_dir):
     dtype = jnp.dtype(dtype_name)
-    n = x.shape[0]
+    n = inp.shape[0]
     grid = n // TILE
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     tile_spec = lambda: pl.BlockSpec((TILE, LANES), lambda i: (i, 0),
                                      memory_space=mem)
-    wshapes = _weight_specs(a_dim, has_transient, dtype)
-    w_specs = [pl.BlockSpec(s, lambda i: (0, 0), memory_space=mem)
-               for s in wshapes]
-    ins = [*ws, x, dira] + ([temb] if has_transient else []) + [gs] + \
-        ([gt] if has_transient else [])
-    n_tiles_in = 5 if has_transient else 3  # x, dira, (temb), gs, (gt)
-    in_specs = w_specs + [tile_spec() for _ in range(n_tiles_in)]
-    # (w grads f32, then dx/ddira/(dtemb))
+    const_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=mem)
+    wshapes = _weight_specs(has_transient)
+    w_specs = [const_spec(s) for s in wshapes]
+    e_specs = [const_spec(s) for s in _ENC_SHAPES]
+    ins = [*ws, *_enc_args(a_dim, n_freq_xyz, n_freq_dir, sx, sd), inp, g]
+    in_specs = w_specs + e_specs + [tile_spec(), tile_spec()]
     out_shape = [jax.ShapeDtypeStruct(s, jnp.float32) for s in wshapes]
-    out_specs = [pl.BlockSpec(s, lambda i: (0, 0), memory_space=mem)
-                 for s in wshapes]
-    n_dx = 3 if has_transient else 2
-    out_shape += [jax.ShapeDtypeStruct((n, LANES), jnp.float32)] * n_dx
-    out_specs += [tile_spec() for _ in range(n_dx)]
-    kernel = functools.partial(_bwd_kernel, has_transient, dtype)
+    out_specs = [const_spec(s) for s in wshapes]
+    out_shape.append(jax.ShapeDtypeStruct((n, LANES), jnp.float32))
+    out_specs.append(tile_spec())
+    a_shift, t_shift = _shifts(n_freq_dir, a_dim)
+    kernel = functools.partial(_bwd_kernel, has_transient, dtype,
+                               a_shift, t_shift, TILE)
     return pl.pallas_call(
         kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret)(*ins)
@@ -411,46 +612,41 @@ def _fused_bwd(ws, x, dira, temb, gs, gt, *, a_dim, has_transient,
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused(params, x, dira, temb, meta):
-    out = _fused_apply_fwd(params, x, dira, temb, meta)
-    return out[0]
+def _fused(params, inp, sx, sd, meta):
+    out, _ = _fused_apply_fwd(params, inp, sx, sd, meta)
+    return out
 
 
-def _fused_apply_fwd(params, x, dira, temb, meta):
-    a_dim, has_transient, dtype_name, interpret = meta
+def _fused_apply_fwd(params, inp, sx, sd, meta):
+    (a_dim, has_transient, dtype_name, interpret,
+     n_freq_xyz, n_freq_dir) = meta
     ws = pack_weights(params, a_dim, has_transient, jnp.dtype(dtype_name))
-    outs = _fused_fwd(ws, x, dira, temb, a_dim=a_dim,
-                      has_transient=has_transient, dtype_name=dtype_name,
-                      interpret=interpret)
-    outs = tuple(outs) if has_transient else (outs[0], None)
-    return outs, (params, x, dira, temb)
+    out = _fused_fwd(ws, inp, sx, sd, a_dim=a_dim,
+                     has_transient=has_transient, dtype_name=dtype_name,
+                     interpret=interpret, n_freq_xyz=n_freq_xyz,
+                     n_freq_dir=n_freq_dir)
+    return out, (params, inp, sx, sd)
 
 
-def _fused_vjp_fwd(params, x, dira, temb, meta):
-    outs, res = _fused_apply_fwd(params, x, dira, temb, meta)
-    return outs, res
+def _fused_vjp_fwd(params, inp, sx, sd, meta):
+    return _fused_apply_fwd(params, inp, sx, sd, meta)
 
 
 def _fused_vjp_bwd(meta, res, g):
-    a_dim, has_transient, dtype_name, interpret = meta
-    params, x, dira, temb = res
-    gs, gt = g
-    if gt is None or not has_transient:
-        gt = jnp.zeros_like(gs)
+    (a_dim, has_transient, dtype_name, interpret,
+     n_freq_xyz, n_freq_dir) = meta
+    params, inp, sx, sd = res
     ws = pack_weights(params, a_dim, has_transient, jnp.dtype(dtype_name))
-    outs = _fused_bwd(ws, x, dira, temb, gs, gt, a_dim=a_dim,
+    outs = _fused_bwd(ws, inp, sx, sd, g, a_dim=a_dim,
                       has_transient=has_transient, dtype_name=dtype_name,
-                      interpret=interpret)
+                      interpret=interpret, n_freq_xyz=n_freq_xyz,
+                      n_freq_dir=n_freq_dir)
     nw = len(ws)
     dparams = unpack_weight_grads(outs[:nw], params, a_dim, has_transient)
-    if has_transient:
-        dx, ddira, dtemb = outs[nw:]
-    else:
-        dx, ddira = outs[nw:]
-        dtemb = jnp.zeros_like(temb)
-    # match the params pytree: zero grads for leaves the kernel ignores
+    d_inp = outs[nw]
     dparams = _match_tree(params, dparams)
-    return dparams, dx, ddira, dtemb
+    # the BARF scale rows are schedule values, not parameters
+    return dparams, d_inp, jnp.zeros_like(sx), jnp.zeros_like(sd)
 
 
 def _match_tree(params, dparams):
@@ -469,41 +665,53 @@ def _match_tree(params, dparams):
 _fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
-def _pad_cols(x, cols):
-    return jnp.pad(x, ((0, 0), (0, cols - x.shape[-1])))
+# ----------------------------------------------------------------------
+# public entry
+# ----------------------------------------------------------------------
 
-
-def fused_apply_nerf(params, xyz_emb, dir_a_emb, t_emb=None, *,
+def fused_apply_nerf(params, xyz, dirs, a_emb=None, t_emb=None, *,
                      output_transient: bool = False,
                      compute_dtype=jnp.bfloat16,
+                     n_freq_xyz: int = 10, n_freq_dir: int = 4,
+                     barf_w_xyz=None, barf_w_dir=None,
                      interpret: bool = False) -> Dict[str, jnp.ndarray]:
-    """Drop-in fused replacement for models.mlp.apply_nerf (no sigma_only).
+    """Fused PE+MLP replacement for embed + models.mlp.apply_nerf.
 
-    Pads inputs to the kernel layout, runs the fused Pallas program, applies
-    the head nonlinearities, and returns the same named-head dict.
+    Args:
+      xyz: (N, 3) RAW sample positions (PE happens in-kernel).
+      dirs: (N, 3) RAW per-point view directions.
+      a_emb: (N, a_dim) per-point appearance embeddings (or None).
+      t_emb: (N, 16) per-point transient embeddings (required when
+        output_transient).
+      barf_w_xyz / barf_w_dir: (N_freqs,) traced BARF annealing weights
+        (core/encoding.barf_weights) or None for plain PE.
+
+    Returns the same named-head dict as apply_nerf.
     """
-    n0 = xyz_emb.shape[0]
+    n0 = xyz.shape[0]
+    a_dim = 0 if a_emb is None else a_emb.shape[-1]
+    parts = [xyz, dirs]
+    if a_emb is not None:
+        parts.append(a_emb)
+    if output_transient:
+        parts.append(t_emb)
+    inp = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=-1)
+    inp = jnp.pad(inp, ((0, 0), (0, LANES - inp.shape[-1])))
     _t = max(TILE, TILE_FWD)
     n = -(-n0 // _t) * _t
-    a_dim = dir_a_emb.shape[-1] - 27
-    x = _pad_cols(xyz_emb, IN_X)
-    d = _pad_cols(dir_a_emb, IN_D)
-    t = _pad_cols(t_emb, IN_T) if output_transient else \
-        jnp.zeros((n0, IN_T), xyz_emb.dtype)
     if n != n0:
-        pad = ((0, n - n0), (0, 0))
-        x, d, t = jnp.pad(x, pad), jnp.pad(d, pad), jnp.pad(t, pad)
+        inp = jnp.pad(inp, ((0, n - n0), (0, 0)))
+    sx, sd = default_scale_rows(n_freq_xyz, n_freq_dir, a_dim,
+                                barf_w_xyz, barf_w_dir)
     meta = (a_dim, bool(output_transient), jnp.dtype(compute_dtype).name,
-            bool(interpret))
-    s_pre, t_pre = _fused(params, x, d, t, meta)
-    s_pre = s_pre[:n0]
+            bool(interpret), int(n_freq_xyz), int(n_freq_dir))
+    pre = _fused(params, inp, sx, sd, meta)[:n0]
     out = {
-        "static_rgb": jax.nn.sigmoid(s_pre[:, 0:3]),
-        "static_sigma": jax.nn.softplus(s_pre[:, 3]),
+        "static_rgb": jax.nn.sigmoid(pre[:, COL_S_RGB:COL_S_RGB + 3]),
+        "static_sigma": jax.nn.softplus(pre[:, COL_S_SIGMA]),
     }
     if output_transient:
-        t_pre = t_pre[:n0]
-        out["transient_rgb"] = jax.nn.sigmoid(t_pre[:, 0:3])
-        out["transient_sigma"] = jax.nn.softplus(t_pre[:, 3])
-        out["transient_beta"] = jax.nn.softplus(t_pre[:, 4])
+        out["transient_rgb"] = jax.nn.sigmoid(pre[:, COL_T_RGB:COL_T_RGB + 3])
+        out["transient_sigma"] = jax.nn.softplus(pre[:, COL_T_SIGMA])
+        out["transient_beta"] = jax.nn.softplus(pre[:, COL_T_BETA])
     return out

@@ -106,36 +106,52 @@ def _fused_ok(mcfg: NeRFConfig) -> bool:
             and mcfg.in_channels_t <= 128)
 
 
-def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz_emb,
-             dir_emb=None, a_emb=None, t_emb=None, *, sigma_only=False,
-             output_transient=False):
-    """Flatten (N, S, C) sample grids to one (N*S, C) matmul batch, run the
-    MLP (fused Pallas kernel on TPU), and restore (N, S) shapes."""
-    N, S = xyz_emb.shape[:2]
+def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz,
+             dirs=None, a_emb=None, t_emb=None, *, epoch=0.0,
+             sigma_only=False, output_transient=False):
+    """Run the field MLP over a (N_rays, S, 3) sample grid.
+
+    Takes RAW positions/directions: the fused Pallas path computes the
+    positional encoding in-kernel (ops/fused_mlp.py), the XLA path embeds
+    here.  Per-ray conditioning (dirs, appearance, transient embeddings) is
+    broadcast to samples; shapes are restored to (N, S, ...) on return.
+    """
+    N, S = xyz.shape[:2]
     flat = lambda x: x.reshape(N * S, x.shape[-1])
-    dir_a = None
-    if not sigma_only:
-        parts = [jnp.broadcast_to(dir_emb[:, None, :], (N, S, dir_emb.shape[-1]))]
-        if a_emb is not None:
-            parts.append(jnp.broadcast_to(a_emb[:, None, :], (N, S, a_emb.shape[-1])))
-        dir_a = flat(jnp.concatenate(parts, axis=-1))
-    t_flat = None
-    if output_transient:
-        t_flat = flat(jnp.broadcast_to(t_emb[:, None, :], (N, S, t_emb.shape[-1])))
+    per_sample = lambda x: flat(jnp.broadcast_to(x[:, None, :],
+                                                 (N, S, x.shape[-1])))
 
     on_tpu = jax.default_backend() == "tpu"
-    # auto currently resolves to OFF: on v5e the measured fused-kernel fwd
-    # (13 ms @ 524k pts, TILE=512) trails the XLA path (8 ms) — per-tile
-    # pipeline overheads dominate at this arithmetic intensity.  The kernel
-    # is kept, correctness-tested, and selectable for further tuning.
+    # auto resolves OFF until the fused kernel beats the XLA path end to end
+    # on v5e (v2 measured: fwd 13.0 ms vs XLA-from-raw 9.8 ms at 524k pts —
+    # in-kernel PE via f32 MXU matmuls is the current cost; see
+    # experiments/fused_v2_results.json)
     use_fused = cfg.use_pallas if cfg.use_pallas is not None else False
     if use_fused and not sigma_only and _fused_ok(mcfg):
+        bw_x = bw_d = None
+        if cfg.refine_pose:
+            bw_x = encoding.barf_weights(epoch, cfg.N_emb_xyz,
+                                         cfg.barf_epoch_start,
+                                         cfg.barf_epoch_end)
+            bw_d = encoding.barf_weights(epoch, cfg.N_emb_dir,
+                                         cfg.barf_epoch_start,
+                                         cfg.barf_epoch_end)
         out = fused_apply_nerf(
-            model_params, flat(xyz_emb), dir_a, t_flat,
+            model_params, flat(xyz), per_sample(dirs),
+            per_sample(a_emb) if a_emb is not None else None,
+            per_sample(t_emb) if output_transient else None,
             output_transient=output_transient, compute_dtype=cfg.dtype,
-            interpret=not on_tpu)
+            n_freq_xyz=cfg.N_emb_xyz, n_freq_dir=cfg.N_emb_dir,
+            barf_w_xyz=bw_x, barf_w_dir=bw_d, interpret=not on_tpu)
     else:
-        out = apply_nerf(model_params, mcfg, flat(xyz_emb), dir_a, t_flat,
+        xyz_emb = flat(_embed_xyz(cfg, xyz, epoch))
+        dir_a = None
+        if not sigma_only:
+            dir_emb = _embed_dir(cfg, dirs, epoch)
+            parts = [dir_emb] + ([a_emb] if a_emb is not None else [])
+            dir_a = per_sample(jnp.concatenate(parts, axis=-1))
+        t_flat = per_sample(t_emb) if output_transient else None
+        out = apply_nerf(model_params, mcfg, xyz_emb, dir_a, t_flat,
                          sigma_only=sigma_only,
                          output_transient=output_transient,
                          compute_dtype=cfg.dtype)
@@ -173,7 +189,6 @@ def render_rays(params: Dict[str, Any], rays: jnp.ndarray, ts: jnp.ndarray,
 
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
-    dir_embedded = _embed_dir(cfg, rays_d, epoch)
 
     z_vals = sampling.stratified_z_vals(
         k_perturb, near, far, cfg.N_samples,
@@ -188,16 +203,16 @@ def render_rays(params: Dict[str, Any], rays: jnp.ndarray, ts: jnp.ndarray,
     # to render at eval.  Divergence: when there is no fine model, the
     # coarse pass renders fully even at test time.
     if test_time and cfg.N_importance > 0:
-        out = _run_mlp(params["nerf_coarse"], ccfg, cfg,
-                       _embed_xyz(cfg, xyz_coarse, epoch), sigma_only=True)
+        out = _run_mlp(params["nerf_coarse"], ccfg, cfg, xyz_coarse,
+                       epoch=epoch, sigma_only=True)
         comp = compositing.composite_static(
             z_vals, None, out["static_sigma"], noise_std=0.0,
             white_back=cfg.white_back, weights_only=True)
         results["weights_coarse"] = comp.weights
         results["opacity_coarse"] = comp.opacity
     else:
-        out = _run_mlp(params["nerf_coarse"], ccfg, cfg,
-                       _embed_xyz(cfg, xyz_coarse, epoch), dir_embedded)
+        out = _run_mlp(params["nerf_coarse"], ccfg, cfg, xyz_coarse,
+                       rays_d, epoch=epoch)
         comp = compositing.composite_static(
             z_vals, out["static_rgb"], out["static_sigma"],
             noise_rng=k_noise_c, noise_std=cfg.noise_std,
@@ -233,9 +248,9 @@ def render_rays(params: Dict[str, Any], rays: jnp.ndarray, ts: jnp.ndarray,
         t_emb = t_embedded if t_embedded is not None else \
             embedding_lookup(params["embedding_t"], ts)
 
-    out = _run_mlp(params["nerf_fine"], fcfg, cfg,
-                   _embed_xyz(cfg, xyz_fine, epoch), dir_embedded,
-                   a_emb=a_emb, t_emb=t_emb, output_transient=do_transient)
+    out = _run_mlp(params["nerf_fine"], fcfg, cfg, xyz_fine, rays_d,
+                   a_emb=a_emb, t_emb=t_emb, output_transient=do_transient,
+                   epoch=epoch)
 
     if do_transient:
         comp = compositing.composite_transient(
