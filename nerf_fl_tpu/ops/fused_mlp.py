@@ -54,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))            # bwd tile
+TILE = int(_os.environ.get("FUSED_MLP_TILE", 512))            # bwd tile (1024 exceeds the 16M VMEM scoped limit: dW accumulators double-buffer)
 TILE_FWD = int(_os.environ.get("FUSED_MLP_TILE_FWD", 2048))   # fwd tile
 LANES = 128
 
@@ -326,8 +326,10 @@ def _accum_pe(inp, rows_ref, src_off, tile):
 
 
 def _encode_inputs(inp, enc, a_shift, t_shift, dtype, tile, has_transient):
-    """Returns (pe_x, d_tail, t_tail, Ex, Ed) — the bf16 network inputs and
-    the raw f32 pre-trig accumulators (reused by the backward pass)."""
+    """Returns (pe_x, d_tail, t_tail) — the network inputs in the compute
+    dtype.  The pre-trig accumulators are NOT retained; the backward pass
+    recomputes them (6 VPU FMAs) rather than keeping two (T, 128) f32
+    arrays live across the whole matmul sweep."""
     PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma = enc
     Ex = _accum_pe(inp, PxR, 0, tile)
     pe_x = (jnp.where(trgx[:] > 0, _pe_trig(Ex, phx[:]), Ex)
@@ -342,7 +344,7 @@ def _encode_inputs(inp, enc, a_shift, t_shift, dtype, tile, has_transient):
     if has_transient:
         # garbage lanes beyond col 16 hit zero-padded W_t0 rows: no mask
         t_tail = pltpu.roll(inp, shift=t_shift, axis=1).astype(dtype)
-    return pe_x, d_tail, t_tail, Ex, Ed
+    return pe_x, d_tail, t_tail
 
 
 # ----------------------------------------------------------------------
@@ -365,7 +367,7 @@ def _fwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
         return jnp.maximum(y.astype(dtype) + w[wi + 1][:].astype(dtype), 0)
 
     inp = inp_ref[:]  # (T, 128) f32
-    pe, d_tail, t_tail, _, _ = _encode_inputs(
+    pe, d_tail, t_tail = _encode_inputs(
         inp, enc, a_shift, t_shift, dtype, tile, has_transient)
 
     h = pe
@@ -419,24 +421,29 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
         return jnp.maximum(y.astype(dtype) + w[wi + 1][:].astype(dtype), 0)
 
     def dense_bwd(a_in, act_out, g, wi, relu=True):
-        """Returns d_a_in; accumulates dW, db.  g is f32 (T, out)."""
+        """Returns d_a_in (compute dtype); accumulates dW, db.
+
+        Inter-layer cotangents stay in the compute dtype — the same choice
+        XLA's autodiff makes for this net (its dgrad fusions emit bf16) —
+        which halves VMEM pressure and VPU bytes on the backward sweep."""
         if relu:
             # compare in f32 — Mosaic lacks vector bf16 cmpf on this target
-            g = g * (act_out.astype(jnp.float32) > 0).astype(jnp.float32)
+            g = jnp.where(act_out.astype(jnp.float32) > 0, g,
+                          jnp.zeros_like(g))
         gc = g.astype(dtype)
         dw = jax.lax.dot_general(
             a_in, gc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        db = jnp.sum(g, axis=0, keepdims=True)
+        db = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
         acc(wi, dw, db)
         da = jax.lax.dot_general(
             gc, w[wi][:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return da
+        return da.astype(dtype)
 
     # ---- forward recompute, activations live in VMEM ----
     inp = inp_ref[:]
-    pe, d_tail, t_tail, Ex, Ed = _encode_inputs(
+    pe, d_tail, t_tail = _encode_inputs(
         inp, enc, a_shift, t_shift, dtype, tile, has_transient)
 
     acts_in, acts_out = [], []
@@ -455,7 +462,7 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
     # ---- backward ----
     g = g_ref[:]                                       # (T, 128) f32
     # static rgb head (zero-padded cols kill all cross-terms)
-    d_hd = dense_bwd(hd, None, g, 20, relu=False)
+    d_hd = dense_bwd(hd, None, g.astype(dtype), 20, relu=False)
     d_din = dense_bwd(din, hd, d_hd, 18)
     d_xf = d_din[:, :W_TRUNK]
     d_dtail = d_din[:, W_TRUNK:]
@@ -468,7 +475,7 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
         for k in range(3):
             th = dense_fwd(th, 24 + 2 * k)
             tacts.append(th)
-        gt = dense_bwd(tacts[4], None, g, 30, relu=False)
+        gt = dense_bwd(tacts[4], None, g.astype(dtype), 30, relu=False)
         for k in range(2, -1, -1):
             gt = dense_bwd(tacts[k + 1], tacts[k + 2], gt, 24 + 2 * k)
         d_tin = dense_bwd(tacts[0], tacts[1], gt, 22)
@@ -477,7 +484,7 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
 
     # fs2 cotangent: [d_xyz_final | g] — padded fs2 columns are zero, so the
     # non-sigma columns of g contribute nothing through them
-    d_fs2 = jnp.concatenate([d_xf, g], axis=-1)
+    d_fs2 = jnp.concatenate([d_xf, g.astype(dtype)], axis=-1)
     gg = dense_bwd(acts_out[7], None, d_fs2, 16, relu=False)
     for i in range(7, -1, -1):
         gg = dense_bwd(acts_in[i], acts_out[i], gg, 2 * i)
@@ -489,11 +496,13 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
     # ---- PE backward: per-column chain rule, then project to input cols
     # dE = where(trig, cos, 1) * scale * d_pe; d_inp[c] = sum(dE * row_c)
     colid = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    Ex = _accum_pe(inp, PxR, 0, tile)
+    Ed = _accum_pe(inp, PdR, 3, tile)
     dEx = jnp.where(trgx[:] > 0, _pe_trig(Ex, phx[:] + 0.25), 1.0) \
-        * sx[:] * d_pe
+        * sx[:] * d_pe.astype(jnp.float32)
     dEd = jnp.where(ma[:] > 0, 0.0,
                     jnp.where(trgd[:] > 0, _pe_trig(Ed, phd[:] + 0.25), 1.0)
-                    * sd[:]) * d_dtail
+                    * sd[:]) * d_dtail.astype(jnp.float32)
     d_inp = jnp.zeros((tile, LANES), jnp.float32)
     for c in range(3):
         sxc = jnp.sum(dEx * PxR[c:c + 1, :], axis=1, keepdims=True)
@@ -501,11 +510,11 @@ def _bwd_kernel(has_transient, dtype, a_shift, t_shift, tile, *refs):
         sdc = jnp.sum(dEd * PdR[c:c + 1, :], axis=1, keepdims=True)
         d_inp = d_inp + jnp.where(colid == 3 + c, sdc, 0.0)
     if a_shift:
-        d_inp = d_inp + pltpu.roll(d_dtail * ma[:],
+        d_inp = d_inp + pltpu.roll(d_dtail.astype(jnp.float32) * ma[:],
                                    shift=(LANES - a_shift) % LANES, axis=1)
     if has_transient:
         # d_ttail lanes >= 16 are zero (zero-padded W_t0 rows)
-        d_inp = d_inp + pltpu.roll(d_ttail,
+        d_inp = d_inp + pltpu.roll(d_ttail.astype(jnp.float32),
                                    shift=(LANES - t_shift) % LANES, axis=1)
     din_ref[:] = d_inp
 
