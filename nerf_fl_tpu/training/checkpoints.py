@@ -12,6 +12,7 @@ provided for tooling parity.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -47,6 +48,22 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
 def load_checkpoint(path: str) -> Dict:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest epoch=N.ckpt in a directory, or None.
+
+    Sorted by epoch number (not mtime: a re-saved older ckpt must not win).
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"epoch=(\d+)\.ckpt$", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(ckpt_dir, name)
+    return best
 
 
 def _flatten(tree, prefix=""):

@@ -41,6 +41,7 @@ from ..models import (init_embedding, init_learn_pose, init_nerf, pose_for,
 from ..parallel import make_mesh, place_params, shard_batch
 from ..render import RenderConfig, render_rays
 from . import checkpoints
+from .checkpoints import latest_checkpoint
 from .logging import ExperimentLogger
 from .losses import loss_dict
 from .optimizers import (build_optimizer, lr_for_epoch, make_trainable_mask,
@@ -170,7 +171,8 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
                    cfg: RenderConfig, *, chunk: int = 32 * 1024,
                    test_time: bool = True, output_transient: bool = True,
                    epoch: float = 0.0, rng=None,
-                   keys=None, inflight: int = 4) -> Dict[str, np.ndarray]:
+                   keys=None, inflight: int = 4,
+                   mesh=None) -> Dict[str, np.ndarray]:
     """Render arbitrarily many rays through fixed-shape compiled chunks.
 
     The reference chunks to avoid OOM (eval.py:80-110); here chunking also
@@ -181,6 +183,11 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     still overlaps chunk k+1's compute with chunk k's transfer, but result
     buffers can't pile up in HBM on multi-megapixel frames (dozens of chunks
     at phototourism img_downscale 1).
+
+    With ``mesh`` (a ('data','model') Mesh), each chunk's ray batch is
+    sharded over the 'data' axis so the render program runs SPMD across the
+    mesh — data-parallel evaluation the reference has no analog of (its
+    eval.py is single-GPU).
     """
     n = len(rays)
     fn = _jitted_render(cfg, test_time, output_transient,
@@ -188,6 +195,11 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
+    put = jnp.asarray
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        from ..parallel import batch_sharding
+        sharding = batch_sharding(mesh)
+        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
 
     outs = defaultdict(list)
     pending: deque = deque()
@@ -209,8 +221,7 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
             # TPU register-allocation bug on this toolchain).
             r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
             t = np.concatenate([t, np.repeat(t[-1:], pad, 0)], 0)
-        res = fn(params, jnp.asarray(r), jnp.asarray(t),
-                 jax.random.fold_in(rng, i), epoch)
+        res = fn(params, put(r), put(t), jax.random.fold_in(rng, i), epoch)
         pending.append((res, len(rays[i:i + chunk])))
         if len(pending) >= max(1, inflight):
             drain_one()
@@ -288,8 +299,20 @@ class NeRFSystem:
         self.tx = build_optimizer(h)
         self.opt_state = self.tx.init(self.params)
 
-        if getattr(h, "ckpt_path", None):
-            self.restore(h.ckpt_path)
+        ckpt_path = getattr(h, "ckpt_path", None)
+        if ckpt_path == "auto":
+            # preemption-safe resume: pick up the newest checkpoint of this
+            # experiment if any exists, else start fresh (a capability the
+            # reference lacks — its resume needs an explicit path)
+            ckpt_path = latest_checkpoint(
+                os.path.join(h.save_path, h.exp_name))
+            if ckpt_path:
+                print(f"[ckpt] auto-resume from {ckpt_path}")
+            else:
+                print("[ckpt] auto-resume: no checkpoint found, "
+                      "starting fresh")
+        if ckpt_path:
+            self.restore(ckpt_path)
 
         # --num_gpus (reference flag) = data-parallel width in chips
         self.mesh = make_mesh(num_data=max(1, getattr(h, "num_gpus", 1)),
@@ -346,7 +369,8 @@ class NeRFSystem:
                 test_time=False, epoch=float(epoch),
                 rng=jax.random.PRNGKey(1000 + i),
                 keys=("rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine",
-                      "beta", "transient_sigmas"))
+                      "beta", "transient_sigmas"),
+                mesh=getattr(self, "mesh", None))
             typ = "fine" if "rgb_fine" in res else "coarse"
             loss_d = loss_dict[self.loss_name](res, rgbs)
             losses.append(float(sum(np.asarray(v) for v in loss_d.values())))

@@ -73,7 +73,9 @@ def get_parser():
                         help='number of data-parallel devices (chips)')
 
     parser.add_argument('--ckpt_path', type=str, default=None,
-                        help='pretrained checkpoint path to load')
+                        help='pretrained checkpoint path to load; "auto" '
+                             'resumes from the newest epoch=N.ckpt under '
+                             'save_path/exp_name (preemption-safe restarts)')
     parser.add_argument('--prefixes_to_ignore', nargs='+', type=str, default=['loss'],
                         help='the prefixes to ignore in the checkpoint state dict')
 

@@ -144,6 +144,28 @@ def test_refresh_every_progress_line(blender_scene, tmp_path, capsys):
     assert 'step 10' in out or 'step 20' in out
 
 
+def test_auto_resume(blender_scene, tmp_path):
+    """--ckpt_path auto resumes from the newest checkpoint of the experiment
+    (or starts fresh when none exists) — preemption-safe restarts."""
+    save = str(tmp_path / "ckpts")
+    args = ['--root_dir', blender_scene, '--dataset_name', 'blender',
+            '--img_wh', '40', '40', '--exp_name', 'auto',
+            '--save_path', save, '--ckpt_path', 'auto'] + FAST
+    # fresh start: no ckpt yet
+    s1 = run_system(args)
+    assert os.path.exists(os.path.join(save, 'auto', 'epoch=0.ckpt'))
+    # "preempted" restart: same command resumes at epoch 1
+    hp = get_opts([a if a != '1' or args[args.index(a) - 1] != '--num_epochs'
+                   else '2' for a in args])
+    s2 = NeRFSystem(hp, logger=NullLogger())
+    s2.setup()
+    s2.configure()
+    assert s2.start_epoch == 1
+    assert s2.global_step == s1.global_step
+    s2.fit()
+    assert os.path.exists(os.path.join(save, 'auto', 'epoch=1.ckpt'))
+
+
 def test_multichip_cli_train(blender_scene, tmp_path):
     """--num_gpus 8 drives the data-parallel mesh over the virtual devices."""
     system = run_system(['--root_dir', blender_scene, '--dataset_name',

@@ -259,6 +259,26 @@ def test_render_chunked_inflight_window():
         assert len(serial[k]) == 700
 
 
+def test_render_chunked_sharded_matches_single_device():
+    """Data-parallel eval: sharding each chunk's rays over the 'data' mesh
+    axis must reproduce the single-device render exactly."""
+    assert len(jax.devices()) == 8
+    params, *_ = build()
+    b = make_batch(n=700)
+    cfg = CFG.eval_variant()
+    mesh = make_mesh()
+    params8 = place_params(mesh, params)
+    single = render_chunked(params, np.asarray(b["rays"]),
+                            np.asarray(b["ts"]), cfg, chunk=256,
+                            test_time=True)
+    sharded = render_chunked(params8, np.asarray(b["rays"]),
+                             np.asarray(b["ts"]), cfg, chunk=256,
+                             test_time=True, mesh=mesh)
+    for k in single:
+        np.testing.assert_allclose(single[k], sharded[k], atol=1e-5,
+                                   err_msg=k)
+
+
 def test_render_chunked_matches_unchunked():
     params, *_ = build()
     b = make_batch(n=300)
