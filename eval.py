@@ -48,6 +48,9 @@ def get_opts(argv=None):
                         help='apply learned pose deltas from the checkpoint')
 
     parser.add_argument('--chunk', type=int, default=32 * 1024 * 4)
+    parser.add_argument('--num_gpus', type=int, default=1,
+                        help='shard each render chunk over this many chips '
+                             '(data-parallel evaluation)')
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--video_format', type=str, default='gif',
                         choices=['gif', 'mp4'])
@@ -105,6 +108,14 @@ def main(args):
     # dataset.white_back into render_rays)
     from dataclasses import replace as _replace
     cfg = _replace(cfg, white_back=dataset.white_back)
+
+    mesh = None
+    if getattr(args, 'num_gpus', 1) > 1:
+        # data-parallel evaluation: rays shard over the 'data' mesh axis
+        # (the reference's eval.py is single-GPU)
+        from nerf_fl_tpu.parallel import make_mesh, place_params
+        mesh = make_mesh(num_data=args.num_gpus)
+        params = place_params(mesh, params)
 
     if args.refine_pose:
         # Compose the learned deltas onto the dataset's poses.  Learned poses
@@ -173,7 +184,7 @@ def main(args):
         sample = dataset[i]
         results = render_chunked(
             params, sample['rays'], sample['ts'], cfg, chunk=chunk,
-            test_time=True, keys=wanted, **render_kwargs)
+            test_time=True, keys=wanted, mesh=mesh, **render_kwargs)
 
         if args.dataset_name == 'blender':
             w, h = args.img_wh

@@ -60,7 +60,8 @@ class PhototourismDataset:
         self.files = self.files[~self.files["id"].isnull()]
         self.files.reset_index(inplace=True, drop=True)
 
-        # Step 1: image ids from images.bin (NOT the tsv id column)
+        # image ids come from COLMAP images.bin — the tsv 'id' column is
+        # documented-broken in the reference (phototourism.py:53-75)
         if self.use_cache:
             with open(self._cache("img_ids.pkl"), "rb") as f:
                 self.img_ids = pickle.load(f)
@@ -80,7 +81,8 @@ class PhototourismDataset:
                 self.image_paths[id_] = filename
                 self.img_ids.append(id_)
 
-        # Step 2: rescaled intrinsics (keyed by camera id, reference quirk).
+        # intrinsics, rescaled per image and keyed by camera id (a reference
+        # quirk worth preserving for cache compatibility).
         # Scale-suffixed cache artifacts may not exist for THIS scale (val
         # forces img_downscale >= 2 while prepare_phototourism typically ran
         # at the train scale — a latent crash in the reference); fall back
@@ -107,7 +109,7 @@ class PhototourismDataset:
                 K[2, 2] = 1
                 self.Ks[cam_id] = K
 
-        # Step 3: c2w poses in "right up back" convention
+        # camera-to-world poses, flipped into the "right up back" convention
         if self.use_cache:
             self.poses = np.load(self._cache("poses.npy"))
         else:
@@ -123,7 +125,8 @@ class PhototourismDataset:
             self.poses = np.linalg.inv(w2c_mats)[:, :3]
             self.poses[..., 1:3] *= -1  # "right down front" -> "right up back"
 
-        # Step 4: per-image near/far percentiles + global max-far=5 rescale
+        # per-image near/far from 0.1/99.9 percentiles of visible 3D points,
+        # then one global rescale pinning the largest far plane to 5
         if self.use_cache:
             self.xyz_world = np.load(self._cache("xyz_world.npy"))
             with open(self._cache("nears.pkl"), "rb") as f:
@@ -155,7 +158,7 @@ class PhototourismDataset:
         self.poses_dict = {id_: self.poses[i]
                            for i, id_ in enumerate(self.img_ids)}
 
-        # Step 5: tsv-driven split
+        # train/val membership comes from the scene tsv
         self.img_ids_train = [
             id_ for i, id_ in enumerate(self.img_ids)
             if self.files.loc[i, "split"] == "train"]

@@ -58,7 +58,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch pytree with the batch axis over 'data'."""
+    """Device-put a host batch pytree with the batch axis over 'data'.
+
+    On a single-device mesh this is a plain transfer: an explicit
+    NamedSharding device_put costs ~3.5 ms/step through the tunneled
+    runtime used here (measured, experiments/fit_overhead.py) — a 25%
+    train-loop tax for a no-op sharding.
+    """
+    import jax.numpy as jnp
+    if mesh.devices.size == 1 and mesh.devices.flat[0] == jax.devices()[0]:
+        return jax.tree_util.tree_map(jnp.asarray, batch)
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 

@@ -198,6 +198,13 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     put = jnp.asarray
     if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
         from ..parallel import batch_sharding
+        ndata = mesh.shape["data"]
+        if chunk % ndata:
+            # keep the batch axis divisible by the mesh; padding already
+            # guarantees every dispatched chunk is exactly `chunk` rows
+            chunk = -(-chunk // ndata) * ndata
+            print(f"[render] rounding chunk up to {chunk} "
+                  f"(multiple of data={ndata})")
         sharding = batch_sharding(mesh)
         put = lambda x: jax.device_put(jnp.asarray(x), sharding)
 

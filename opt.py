@@ -10,105 +10,108 @@ def get_parser():
     parser = argparse.ArgumentParser()
 
     parser.add_argument('--root_dir', type=str, required=True,
-                        help='root directory of dataset')
+                        help='dataset root folder')
     parser.add_argument('--dataset_name', type=str, default='blender',
                         choices=['blender', 'phototourism'],
-                        help='which dataset to train/val')
-    # for blender
+                        help='dataset family to train and validate on')
+    # blender-family options
     parser.add_argument('--data_perturb', nargs="+", type=str, default=[],
-                        help='''what perturbation to add to data.
-                                Available choices: [], ["color"], ["occ"] or ["color", "occ"]
-                             ''')
+                        help='synthetic-data corruptions to apply: any of "color" '
+                             '(per-image color jitter) and "occ" (random '
+                             'occluder stripes); empty for clean data')
     parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
-    # for phototourism
+                        help='training image resolution as WIDTH HEIGHT')
+    # phototourism-family options
     parser.add_argument('--img_downscale', type=int, default=1,
-                        help='how much to downscale the images for phototourism dataset')
+                        help='phototourism image downscale factor')
     parser.add_argument('--use_cache', default=False, action="store_true",
-                        help='whether to use ray cache (make sure img_downscale is the same)')
+                        help='load the prepare_phototourism.py ray cache (its img_downscale '
+                             'must match)')
 
-    # original NeRF parameters
+    # core NeRF sampling/encoding
     parser.add_argument('--N_emb_xyz', type=int, default=10,
-                        help='number of xyz embedding frequencies')
+                        help='positional-encoding frequency count for xyz')
     parser.add_argument('--N_emb_dir', type=int, default=4,
-                        help='number of direction embedding frequencies')
+                        help='positional-encoding frequency count for view directions')
     parser.add_argument('--N_samples', type=int, default=64,
-                        help='number of coarse samples')
+                        help='stratified samples per ray (coarse pass)')
     parser.add_argument('--N_importance', type=int, default=128,
-                        help='number of additional fine samples')
+                        help='importance samples per ray (fine pass)')
     parser.add_argument('--use_disp', default=False, action="store_true",
-                        help='use disparity depth sampling')
+                        help='sample linearly in disparity instead of depth')
     parser.add_argument('--perturb', type=float, default=1.0,
-                        help='factor to perturb depth sampling points')
+                        help='jitter amplitude for stratified depth samples (0 = deterministic)')
     parser.add_argument('--noise_std', type=float, default=1.0,
-                        help='std dev of noise added to regularize sigma')
+                        help='sigma-regularizing noise std (pre-activation)')
 
-    # NeRF-W parameters
+    # NeRF-W (appearance/transient) options
     parser.add_argument('--N_vocab', type=int, default=100,
-                        help='''number of vocabulary (number of images)
-                                in the dataset for the embedding tables''')
+                        help='embedding-table size; must exceed the largest image id '
+                             'in the dataset')
     parser.add_argument('--encode_a', default=False, action="store_true",
-                        help='whether to encode appearance (NeRF-A)')
+                        help='learn per-image appearance embeddings (NeRF-A)')
     parser.add_argument('--N_a', type=int, default=48,
-                        help='number of embeddings for appearance')
+                        help='appearance embedding width')
     parser.add_argument('--encode_t', default=False, action="store_true",
-                        help='whether to encode transient object (NeRF-U)')
+                        help='learn the transient head with uncertainty (NeRF-U)')
     parser.add_argument('--N_tau', type=int, default=16,
-                        help='number of embeddings for transient objects')
+                        help='transient embedding width')
     parser.add_argument('--beta_min', type=float, default=0.1,
-                        help='minimum color variance for each ray')
+                        help='floor added to the composited uncertainty beta')
 
-    # Bundle-Adjusting Neural Radiance Fields
+    # BARF pose refinement
     parser.add_argument('--refine_pose', default=False, action="store_true",
-                        help='whether to refine input camera poses (BARF)')
+                        help='jointly optimize camera poses (BARF-style so(3)+t deltas '
+                             'with annealed positional encoding)')
 
     parser.add_argument('--batch_size', type=int, default=1024,
-                        help='batch size')
+                        help='rays per training step')
     parser.add_argument('--chunk', type=int, default=32*1024,
                         help='fixed render-chunk size for val/eval (device '
                              'batches are static-shape; training never chunks)')
     parser.add_argument('--num_epochs', type=int, default=16,
-                        help='number of training epochs')
+                        help='epochs to train')
     parser.add_argument('--num_gpus', type=int, default=1,
-                        help='number of data-parallel devices (chips)')
+                        help='data-parallel device count (the mesh "data" axis)')
 
     parser.add_argument('--ckpt_path', type=str, default=None,
                         help='pretrained checkpoint path to load; "auto" '
                              'resumes from the newest epoch=N.ckpt under '
                              'save_path/exp_name (preemption-safe restarts)')
     parser.add_argument('--prefixes_to_ignore', nargs='+', type=str, default=['loss'],
-                        help='the prefixes to ignore in the checkpoint state dict')
+                        help='parameter-name prefixes skipped when loading a stripped/partial '
+                             'checkpoint')
 
     parser.add_argument('--optimizer', type=str, default='adam',
-                        help='optimizer type',
+                        help='optimizer',
                         choices=['sgd', 'adam', 'radam', 'ranger'])
     parser.add_argument('--lr', type=float, default=5e-4,
-                        help='learning rate')
+                        help='base learning rate')
     parser.add_argument('--momentum', type=float, default=0.9,
-                        help='learning rate momentum')
+                        help='momentum (sgd)')
     parser.add_argument('--weight_decay', type=float, default=0,
-                        help='weight decay')
+                        help='L2 weight decay')
     parser.add_argument('--lr_scheduler', type=str, default='steplr',
-                        help='scheduler type',
+                        help='learning-rate schedule',
                         choices=['steplr', 'cosine', 'poly'])
-    #### params for warmup, only applied when optimizer == 'sgd' or 'adam'
+    # LR warmup (active for sgd/adam)
     parser.add_argument('--warmup_multiplier', type=float, default=1.0,
-                        help='lr is multiplied by this factor after --warmup_epochs')
+                        help='target multiplier reached at the end of the warmup ramp')
     parser.add_argument('--warmup_epochs', type=int, default=0,
-                        help='Gradually warm-up(increasing) learning rate in optimizer')
-    #### params for steplr ####
+                        help='epochs of linear LR warmup before the schedule takes over')
+    # steplr schedule
     parser.add_argument('--decay_step', nargs='+', type=int, default=[20],
-                        help='scheduler decay step')
+                        help='epochs at which steplr multiplies the LR by decay_gamma')
     parser.add_argument('--decay_gamma', type=float, default=0.1,
-                        help='learning rate decay amount')
-    #### params for poly ####
+                        help='steplr decay multiplier')
+    # poly schedule
     parser.add_argument('--poly_exp', type=float, default=0.9,
-                        help='exponent for polynomial learning rate decay')
+                        help='poly schedule exponent')
 
     parser.add_argument('--exp_name', type=str, default='exp',
-                        help='experiment name')
+                        help='experiment name (checkpoint/log subfolder)')
     parser.add_argument('--save_path', type=str, default='./ckpts',
-                        help='paths to save checkpoints to')
+                        help='checkpoint output root')
     parser.add_argument('--refresh_every', type=int, default=1,
                         help='console progress-line cadence in steps (0 '
                              'disables; uses the last logged metrics, so '

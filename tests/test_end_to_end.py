@@ -144,6 +144,29 @@ def test_refresh_every_progress_line(blender_scene, tmp_path, capsys):
     assert 'step 10' in out or 'step 20' in out
 
 
+def test_eval_sharded_matches_single(blender_scene, tmp_path):
+    """eval.py --num_gpus 8 shards render chunks over the mesh and must
+    reproduce the single-device mean PSNR."""
+    save = str(tmp_path / "ckpts")
+    run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                '--img_wh', '40', '40', '--exp_name', 'shard',
+                '--save_path', save] + FAST)
+    ckpt = glob.glob(os.path.join(save, 'shard', '*.ckpt'))[0]
+    base = ['--root_dir', blender_scene, '--dataset_name', 'blender',
+            '--split', 'val', '--img_wh', '40', '40', '--N_samples', '8',
+            '--N_importance', '8', '--chunk', '4096', '--ckpt_path', ckpt]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        p1 = eval_cli.main(eval_cli.get_opts(
+            base + ['--scene_name', 'ev1']))
+        p8 = eval_cli.main(eval_cli.get_opts(
+            base + ['--scene_name', 'ev8', '--num_gpus', '8']))
+    finally:
+        os.chdir(cwd)
+    assert p1 == pytest.approx(p8, abs=1e-3)
+
+
 def test_auto_resume(blender_scene, tmp_path):
     """--ckpt_path auto resumes from the newest checkpoint of the experiment
     (or starts fresh when none exists) — preemption-safe restarts."""

@@ -75,3 +75,41 @@ def test_psnr_regression_flow(blender_scene, tmp_path):
                                        'test_train_1_gt_pred_depth.png'))
     assert os.path.exists(os.path.join(out,
                                        'test_train_1_decomposition.png'))
+
+
+def test_psnr_regression_phototourism(tmp_path):
+    """The phototourism family wrapper runs on a COLMAP fixture scene."""
+    import jax
+    import numpy as np
+
+    import importlib.util
+
+    # load by path: the wrapper shares its name with this very test module
+    # family, so a bare import would hit the pytest-cached tests module
+    sys.path.insert(0, os.path.join(REPO, "notebooks"))
+    spec = importlib.util.spec_from_file_location(
+        "nb_test_phototourism",
+        os.path.join(REPO, "notebooks", "test_phototourism.py"))
+    test_phototourism = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_phototourism)
+    from tests.fixtures import make_phototourism_scene  # noqa: E402
+
+    from nerf_fl_tpu.render import RenderConfig
+    from nerf_fl_tpu.training import checkpoints
+    from nerf_fl_tpu.training.system import build_params
+
+    root = os.path.join(tmp_path, "tour")
+    make_phototourism_scene(root, n_images=5, size=24)
+    cfg = RenderConfig(N_samples=8, N_importance=8, encode_a=True,
+                       encode_t=True)
+    params = build_params(jax.random.PRNGKey(0), cfg, 40)
+    ckpt = os.path.join(tmp_path, "tiny.ckpt")
+    checkpoints.save_checkpoint(ckpt, params)
+
+    out = os.path.join(tmp_path, "reg")
+    report = test_phototourism.main([
+        '--root_dir', root, '--img_downscale', '1', '--N_samples', '8',
+        '--N_importance', '8', '--N_vocab', '40', '--chunk', '4096',
+        '--train_views', '1', '--val_views', '0',
+        '--ckpt_path', ckpt, '--out', out])
+    assert report and all(np.isfinite(v) for v in report.values())
