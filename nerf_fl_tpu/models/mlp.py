@@ -12,7 +12,8 @@ TPU-first choices:
   * all matmuls take a ``compute_dtype`` (bfloat16 on the perf path) with
     float32 accumulation via ``preferred_element_type``,
   * there is no chunk loop — callers hand the whole (N_rays*N_samples, C)
-    batch to one program; memory is managed by remat at the train-step level,
+    batch to one program; memory is bounded by the caller's batch size
+    (training) or fixed-shape chunk size (eval),
   * initialization reproduces torch defaults (kaiming-uniform fan_in for
     weights, uniform 1/sqrt(fan_in) for biases) so early-training loss curves
     are statistically comparable to the reference.

@@ -6,8 +6,8 @@ Behavioral contract follows reference models/rendering.py:49-288 (the
   * NO chunk loops — the reference slices the (N_rays*N_samples) batch into
     Python-level chunks (rendering.py:104, 119) to bound GPU memory; here the
     entire coarse->sample_pdf->fine pass is a single XLA program with static
-    shapes.  Memory is bounded by jax.checkpoint at the train-step level and
-    by fixed-size host-side tiling at eval time.
+    shapes.  Memory is bounded by the training batch size and by fixed-size
+    host-side tiling at eval time.
   * RNG (depth jitter, sigma noise, importance draws) is explicit PRNG-key
     threading instead of torch global RNG (rendering.py:30, 151, 258).
   * The coarse->fine weight handoff uses jax.lax.stop_gradient — the detach
