@@ -162,6 +162,16 @@ def main():
                 "ts": jnp.asarray(pool_ts[idx]),
                 "rgbs": jnp.asarray(pool_rgb[idx])}
 
+    def feed(i0, n):
+        """Prefetched (batch, key) stream: host gather + transfer + key
+        derivation run on a worker thread ahead of the consumer, exactly
+        like training's fit() loop (training/system.py DevicePrefetcher) —
+        per-transfer tunnel latency must overlap the step, not add to it."""
+        from nerf_fl_tpu.training.system import DevicePrefetcher
+        return DevicePrefetcher(
+            iter(range(i0, i0 + n)),
+            lambda i: (get_batch(i), jax.random.fold_in(key, i)), depth=3)
+
     lr = jnp.float32(5e-4)
     ep = jnp.float32(0.0)
     key = jax.random.PRNGKey(1)
@@ -189,11 +199,10 @@ def main():
     # occasionally dent a single window by ~20%)
     rates = []
     for w in range(3):
+        stream = feed(100 + w * measure_steps, measure_steps)
         t0 = time.perf_counter()
-        for i in range(measure_steps):
-            params, opt_state, m = step(
-                params, opt_state, get_batch(i), lr, ep,
-                jax.random.fold_in(key, 100 + w * measure_steps + i))
+        for batch, k in stream:
+            params, opt_state, m = step(params, opt_state, batch, lr, ep, k)
         float(m["train/loss"])  # depends on the full step chain via donation
         dt = time.perf_counter() - t0
         rates.append(measure_steps * batch_size / dt)

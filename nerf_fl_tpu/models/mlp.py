@@ -111,20 +111,74 @@ def _dense(x, layer, compute_dtype, out_dtype=None):
     return y + layer["b"].astype(y.dtype)
 
 
+def _dense_cat(parts, layer, compute_dtype, out_dtype=None):
+    """``concat(parts, -1) @ w + b`` as per-part matmuls (row-slices of w).
+
+    Numerically the same contraction, but the wide concat operand is never
+    materialized in HBM — the b1024 trace attributes ~0.1 ms apiece to the
+    (N*S, 319/331/272) concat writes and the layout copies the backward's
+    transposed wgrad operands force (docs/PERF.md).  Splitting also lets the
+    backward reuse one {0,1}-layout copy of a shared operand (the PE input
+    feeds layer 0 AND the skip layer) instead of copying two different
+    concats.
+    """
+    w = layer["w"].astype(compute_dtype)
+    acc = None
+    lo = 0
+    for p in parts:
+        hi = lo + p.shape[-1]
+        y = jnp.dot(p.astype(compute_dtype), w[lo:hi],
+                    preferred_element_type=out_dtype or compute_dtype)
+        acc = y if acc is None else acc + y
+        lo = hi
+    return acc + layer["b"].astype(acc.dtype)
+
+
+def _dense_ray_cond(x_sample, x_ray, samples_per_ray, layer, compute_dtype,
+                    out_dtype=None):
+    """``concat([x_sample, broadcast(x_ray)], -1) @ w + b`` without ever
+    broadcasting the per-ray conditioning to samples.
+
+    x_sample is (N*S, C_s); x_ray is per-RAY (N, C_r), constant over a ray's
+    S samples (the reference broadcasts it to every sample,
+    rendering.py:113-118).  Contracting the per-ray block per ray —
+    ``(N, C_r) @ w_r`` — and broadcast-ADDING the (N, out) result is the same
+    sum, but replaces a (N*S, C_r) HBM materialization + matmul operand +
+    backward layout copy with a negligible (N, C_r) matmul; the backward of
+    the broadcast-add is the sample-sum reduction XLA derives for free.
+    """
+    w = layer["w"].astype(compute_dtype)
+    cs = x_sample.shape[-1]
+    y_s = jnp.dot(x_sample.astype(compute_dtype), w[:cs],
+                  preferred_element_type=out_dtype or compute_dtype)
+    y_r = jnp.dot(x_ray.astype(compute_dtype), w[cs:],
+                  preferred_element_type=out_dtype or compute_dtype)
+    y_r = y_r + layer["b"].astype(y_r.dtype)
+    n = x_ray.shape[0]
+    out = y_s.reshape(n, samples_per_ray, -1) + y_r[:, None, :]
+    return out.reshape(n * samples_per_ray, -1)
+
+
 def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
                dir_a_emb: Optional[jnp.ndarray] = None,
                t_emb: Optional[jnp.ndarray] = None, *,
                sigma_only: bool = False, output_transient: bool = False,
-               compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+               compute_dtype=jnp.float32,
+               samples_per_ray: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """Forward pass (reference nerf.py:153-212), returning named heads instead
     of a concatenated channel layout.
 
     Args:
       xyz_emb: (B, in_channels_xyz) positional-encoded samples.
       dir_a_emb: (B, in_channels_dir [+ in_channels_a]) encoded view dirs,
-        with the appearance embedding already concatenated when enabled.
+        with the appearance embedding already concatenated when enabled —
+        OR, when ``samples_per_ray`` is set, the per-RAY (B/samples_per_ray,
+        C) array before broadcasting (the broadcast then never reaches HBM;
+        see _dense_ray_cond).
       t_emb: (B, in_channels_t) transient embedding (required when
-        output_transient).
+        output_transient); per-ray like dir_a_emb when ``samples_per_ray``.
+      samples_per_ray: if set, dir_a_emb/t_emb are per-ray and B =
+        n_rays * samples_per_ray.
 
     Returns dict with keys among:
       static_sigma (B,), static_rgb (B, 3),
@@ -134,8 +188,10 @@ def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
     h = xyz_c
     for i, layer in enumerate(params["xyz"]):
         if i in cfg.skips:
-            h = jnp.concatenate([xyz_c, h], axis=-1)
-        h = jax.nn.relu(_dense(h, layer, compute_dtype))
+            h = _dense_cat([xyz_c, h], layer, compute_dtype)
+        else:
+            h = _dense(h, layer, compute_dtype)
+        h = jax.nn.relu(h)
 
     static_sigma = jax.nn.softplus(
         _dense(h, params["static_sigma"], compute_dtype,
@@ -145,9 +201,13 @@ def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
         return out
 
     xyz_final = _dense(h, params["xyz_final"], compute_dtype)
-    dir_in = jnp.concatenate([xyz_final, dir_a_emb.astype(compute_dtype)],
-                             axis=-1)
-    dir_h = jax.nn.relu(_dense(dir_in, params["dir"], compute_dtype))
+    if samples_per_ray is None:
+        dir_h = jax.nn.relu(_dense_cat([xyz_final, dir_a_emb],
+                                       params["dir"], compute_dtype))
+    else:
+        dir_h = jax.nn.relu(_dense_ray_cond(
+            xyz_final, dir_a_emb, samples_per_ray, params["dir"],
+            compute_dtype))
     out["static_rgb"] = jax.nn.sigmoid(
         _dense(dir_h, params["static_rgb"], compute_dtype,
                out_dtype=jnp.float32))
@@ -156,8 +216,13 @@ def apply_nerf(params: Params, cfg: NeRFConfig, xyz_emb: jnp.ndarray,
         return out
 
     tp = params["transient"]
-    th = jnp.concatenate([xyz_final, t_emb.astype(compute_dtype)], axis=-1)
-    for layer in tp["layers"]:
+    first, rest = tp["layers"][0], tp["layers"][1:]
+    if samples_per_ray is None:
+        th = jax.nn.relu(_dense_cat([xyz_final, t_emb], first, compute_dtype))
+    else:
+        th = jax.nn.relu(_dense_ray_cond(
+            xyz_final, t_emb, samples_per_ray, first, compute_dtype))
+    for layer in rest:
         th = jax.nn.relu(_dense(th, layer, compute_dtype))
     out["transient_sigma"] = jax.nn.softplus(
         _dense(th, tp["sigma"], compute_dtype, out_dtype=jnp.float32))[..., 0]

@@ -149,12 +149,16 @@ def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz,
         if not sigma_only:
             dir_emb = _embed_dir(cfg, dirs, epoch)
             parts = [dir_emb] + ([a_emb] if a_emb is not None else [])
-            dir_a = per_sample(jnp.concatenate(parts, axis=-1))
-        t_flat = per_sample(t_emb) if output_transient else None
-        out = apply_nerf(model_params, mcfg, xyz_emb, dir_a, t_flat,
+            # stays per-RAY: apply_nerf contracts the conditioning block
+            # per ray and broadcast-adds, so the (N*S, C) broadcast the
+            # reference materializes (rendering.py:113-118) never hits HBM
+            dir_a = jnp.concatenate(parts, axis=-1)
+        out = apply_nerf(model_params, mcfg, xyz_emb, dir_a,
+                         t_emb if output_transient else None,
                          sigma_only=sigma_only,
                          output_transient=output_transient,
-                         compute_dtype=cfg.dtype)
+                         compute_dtype=cfg.dtype,
+                         samples_per_ray=S)
     return {k: v.reshape((N, S) + v.shape[1:]) for k, v in out.items()}
 
 

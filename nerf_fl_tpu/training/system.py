@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import functools
 import os
+import queue
 import sys
+import threading
 import time
 from collections import defaultdict, deque
 from typing import Any, Dict, Optional
@@ -237,6 +239,47 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     return {k: np.concatenate(v, 0) for k, v in outs.items()}
 
 
+class DevicePrefetcher:
+    """Host->device feed on a worker thread (the reference runs its feed in
+    DataLoader worker processes, train.py:144-149).
+
+    Wraps an iterator of host batches; a daemon thread applies ``put``
+    (e.g. shard_batch) up to ``depth`` batches ahead of the consumer, so
+    host gather + transfer latency — several ms per step through a
+    tunneled device runtime — overlaps the device step instead of
+    serializing with it.
+    """
+
+    _END = object()
+
+    def __init__(self, it, put, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+
+        def work():
+            try:
+                for b in it:
+                    self._q.put(put(b))
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._END)
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        b = self._q.get()
+        if b is self._END:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return b
+
+
 # ----------------------------------------------------------------------
 # the system
 # ----------------------------------------------------------------------
@@ -413,14 +456,15 @@ class NeRFSystem:
             ep_j = jnp.float32(epoch)
             t0, n_rays = time.time(), 0
             profile_dir = getattr(h, "profile_dir", None)
-            for batch in self.batcher.epoch(epoch):
+            feed = DevicePrefetcher(self.batcher.epoch(epoch),
+                                    functools.partial(shard_batch, self.mesh))
+            for batch in feed:
                 if profile_dir and self.global_step == 100:
                     try:
                         jax.profiler.start_trace(profile_dir)
                     except Exception as e:  # never let tracing kill training
                         print(f"[profiler] start_trace failed: {e}")
                         profile_dir = None
-                batch = shard_batch(self.mesh, batch)
                 rng = jax.random.fold_in(base_rng, self.global_step)
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch, lr_j, ep_j, rng)
