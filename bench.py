@@ -130,7 +130,9 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    measure_steps = int(os.environ.get("BENCH_STEPS", 100))
+    # 200-step windows: the window-bounding scalar readback costs one
+    # tunnel round trip (tens of ms); amortize it below 0.5 ms/step
+    measure_steps = int(os.environ.get("BENCH_STEPS", 200))
 
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
@@ -170,7 +172,7 @@ def main():
         from nerf_fl_tpu.training.system import DevicePrefetcher
         return DevicePrefetcher(
             iter(range(i0, i0 + n)),
-            lambda i: (get_batch(i), jax.random.fold_in(key, i)), depth=3)
+            lambda i: (get_batch(i), jax.random.fold_in(key, i)), depth=4)
 
     lr = jnp.float32(5e-4)
     ep = jnp.float32(0.0)
