@@ -133,6 +133,11 @@ def main():
     # 200-step windows: the window-bounding scalar readback costs one
     # tunnel round trip (tens of ms); amortize it below 0.5 ms/step
     measure_steps = int(os.environ.get("BENCH_STEPS", 200))
+    # K optimizer steps per compiled dispatch (lax.scan; same training math,
+    # see --steps_per_execution).  Dispatch through the tunneled runtime
+    # costs 0.5-5 ms per call depending on session weather; K=8 amortizes it.
+    spe = max(1, int(os.environ.get("BENCH_SPE", 8)))
+    measure_steps -= measure_steps % spe  # whole K-groups per window
 
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
@@ -144,7 +149,8 @@ def main():
                               weight_decay=0.0)
     tx = build_optimizer(h)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, mask, donate=True)
+    step = make_train_step(cfg, tx, mask, donate=True,
+                           steps_per_execution=spe)
 
     # synthetic ray pool (data feed is a host gather, same as real training)
     rng = np.random.default_rng(0)
@@ -158,21 +164,36 @@ def main():
     pool_ts = rng.integers(0, 1500, n_pool).astype(np.int32)
     pool_rgb = rng.uniform(0, 1, (n_pool, 3)).astype(np.float32)
 
-    def get_batch(i):
-        idx = rng.integers(0, n_pool, batch_size)
-        return {"rays": jnp.asarray(pool_rays[idx]),
-                "ts": jnp.asarray(pool_ts[idx]),
-                "rgbs": jnp.asarray(pool_rgb[idx])}
+    from nerf_fl_tpu.training.system import DevicePrefetcher, fold_in_range
 
-    def feed(i0, n):
-        """Prefetched (batch, key) stream: host gather + transfer + key
+    valid = jnp.ones((spe,), bool) if spe > 1 else None
+
+    def get_group(i0):
+        """(K, B, ...) host gather in one shot, transferred as one stack."""
+        idx = rng.integers(0, n_pool, spe * batch_size)
+        batch = {"rays": jnp.asarray(
+                     pool_rays[idx].reshape(spe, batch_size, -1)),
+                 "ts": jnp.asarray(pool_ts[idx].reshape(spe, batch_size)),
+                 "rgbs": jnp.asarray(
+                     pool_rgb[idx].reshape(spe, batch_size, -1))}
+        if spe == 1:
+            batch = {k: v[0] for k, v in batch.items()}
+            return batch, jax.random.fold_in(key, i0)
+        return batch, fold_in_range(key, jnp.uint32(i0), spe)
+
+    def feed(i0, n_groups):
+        """Prefetched (batch, keys) stream: host gather + transfer + key
         derivation run on a worker thread ahead of the consumer, exactly
         like training's fit() loop (training/system.py DevicePrefetcher) —
         per-transfer tunnel latency must overlap the step, not add to it."""
-        from nerf_fl_tpu.training.system import DevicePrefetcher
         return DevicePrefetcher(
-            iter(range(i0, i0 + n)),
-            lambda i: (get_batch(i), jax.random.fold_in(key, i)), depth=4)
+            iter(range(i0, i0 + n_groups * spe, spe)), get_group, depth=4)
+
+    def run_one(params, opt_state, item):
+        batch, ks = item
+        if spe == 1:
+            return step(params, opt_state, batch, lr, ep, ks)
+        return step(params, opt_state, batch, lr, ep, ks, valid)
 
     lr = jnp.float32(5e-4)
     ep = jnp.float32(0.0)
@@ -185,10 +206,10 @@ def main():
     # The remote compile service occasionally 500s transiently: retry.
     for attempt in range(3):
         try:
-            for i in range(5):
-                params, opt_state, m = step(params, opt_state, get_batch(i),
-                                            lr, ep, jax.random.fold_in(key, i))
-            float(m["train/loss"])
+            for i in range(3):
+                params, opt_state, m = run_one(params, opt_state,
+                                               get_group(i * spe))
+            float(np.asarray(m["train/loss"]).reshape(-1)[-1])
             break
         except Exception as e:
             if attempt == 2:
@@ -201,11 +222,12 @@ def main():
     # occasionally dent a single window by ~20%)
     rates = []
     for w in range(3):
-        stream = feed(100 + w * measure_steps, measure_steps)
+        stream = feed(100 + w * measure_steps, measure_steps // spe)
         t0 = time.perf_counter()
-        for batch, k in stream:
-            params, opt_state, m = step(params, opt_state, batch, lr, ep, k)
-        float(m["train/loss"])  # depends on the full step chain via donation
+        for item in stream:
+            params, opt_state, m = run_one(params, opt_state, item)
+        # depends on the full step chain via donation
+        float(np.asarray(m["train/loss"]).reshape(-1)[-1])
         dt = time.perf_counter() - t0
         rates.append(measure_steps * batch_size / dt)
 
@@ -214,6 +236,7 @@ def main():
         "metric": "train_rays_per_sec_nerfw_64+64_b1024",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
+        "steps_per_execution": spe,
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_2080TI, 2),
         "baseline_note": "vs documented 2080Ti estimate (6000 rays/s)",
     }

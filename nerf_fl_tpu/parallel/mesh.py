@@ -57,8 +57,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
     """Device-put a host batch pytree with the batch axis over 'data'.
+
+    ``axis`` is the position of the ray-batch dimension in every leaf
+    (axis=1 for the (K, B, ...) stacks used by steps_per_execution).
 
     On a single-device mesh this is a plain transfer: an explicit
     NamedSharding device_put costs ~3.5 ms/step through the tunneled
@@ -68,7 +71,7 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     import jax.numpy as jnp
     if mesh.devices.size == 1 and mesh.devices.flat[0] == jax.devices()[0]:
         return jax.tree_util.tree_map(jnp.asarray, batch)
-    s = batch_sharding(mesh)
+    s = NamedSharding(mesh, P(*([None] * axis + ["data"])))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

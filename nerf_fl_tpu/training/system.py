@@ -120,8 +120,18 @@ def assemble_world_rays(params, rays, ts, *, ray_format: str,
 def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
                     loss_name: str = "nerfw", ray_format: str = "world",
                     id_to_cam: Optional[np.ndarray] = None,
-                    donate: bool = True):
-    """Build the single jitted SPMD train step."""
+                    donate: bool = True, steps_per_execution: int = 1):
+    """Build the single jitted SPMD train step.
+
+    With ``steps_per_execution`` K > 1 the returned function runs K optimizer
+    steps per call via ``lax.scan``: it takes a batch pytree whose leaves have
+    a leading K axis and a (K, ...) stack of PRNG keys, and returns metrics
+    with a leading K axis.  The math is identical to K separate calls up to
+    float32 roundoff (XLA fuses the scanned body differently; tested) — the
+    point is ONE dispatch per K steps, which amortizes per-call dispatch
+    latency (several ms through a tunneled device runtime; the reference has
+    no analog because torch dispatch is per-op anyway).
+    """
     loss_fn_named = loss_dict[loss_name]
     typ = "fine" if cfg.N_importance > 0 else "coarse"
     idmap = None if id_to_cam is None else jnp.asarray(id_to_cam, jnp.int32)
@@ -149,7 +159,48 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
             metrics[f"train/{k}"] = v
         return new_params, new_opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    donate_args = (0, 1) if donate else ()
+    if steps_per_execution <= 1:
+        return jax.jit(step, donate_argnums=donate_args)
+
+    def multi(params, opt_state, batches, lr, epoch, rngs, valid):
+        def body(carry, xs):
+            p, o = carry
+            batch, rng, ok = xs
+            p2, o2, m = step(p, o, batch, lr, epoch, rng)
+            # epoch-tail groups are padded up to K with repeated batches;
+            # padded sub-steps must leave params/opt_state untouched
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            return (keep(p2, p), keep(o2, o)), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, rngs, valid))
+        return params, opt_state, ms
+
+    return jax.jit(multi, donate_argnums=donate_args)
+
+
+def stack_batches(batches, k: Optional[int] = None):
+    """Stack a list of host batch dicts leaf-wise into one (K, ...) pytree
+    for a ``steps_per_execution`` train step (one transfer, one dispatch).
+
+    If ``k`` exceeds ``len(batches)`` the last batch is repeated to pad the
+    stack; returns (stacked, valid) with ``valid`` marking real sub-steps.
+    """
+    k = len(batches) if k is None else k
+    valid = np.arange(k) < len(batches)
+    batches = list(batches) + [batches[-1]] * (k - len(batches))
+    return (jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches),
+            valid)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def fold_in_range(base, start, k: int):
+    """(k,) stacked keys, bitwise equal to fold_in(base, start+j) for each j,
+    in ONE dispatch instead of k."""
+    return jax.vmap(lambda j: jax.random.fold_in(base, j))(
+        start + jnp.arange(k, dtype=jnp.uint32))
 
 
 @functools.lru_cache(maxsize=32)
@@ -370,9 +421,11 @@ class NeRFSystem:
         self.params = place_params(
             self.mesh, self.params,
             model_parallel=getattr(h, "model_parallel", 1) > 1)
+        self.spe = max(1, getattr(h, "steps_per_execution", 1))
         self.train_step = make_train_step(
             self.cfg, self.tx, self.mask, loss_name=self.loss_name,
-            ray_format=self.ray_format, id_to_cam=self.id_to_cam)
+            ray_format=self.ray_format, id_to_cam=self.id_to_cam,
+            steps_per_execution=self.spe)
 
     def restore(self, path: str):
         ckpt = checkpoints.load_checkpoint(path)
@@ -456,19 +509,54 @@ class NeRFSystem:
             ep_j = jnp.float32(epoch)
             t0, n_rays = time.time(), 0
             profile_dir = getattr(h, "profile_dir", None)
-            feed = DevicePrefetcher(self.batcher.epoch(epoch),
-                                    functools.partial(shard_batch, self.mesh))
+            spe = self.spe
+            if spe > 1:
+                # group K host batches -> one stacked transfer + ONE dispatch
+                # running K optimizer steps under lax.scan (same math up to
+                # float32 roundoff; amortizes per-call dispatch latency)
+                def grouped(it=self.batcher.epoch(epoch), first=self.global_step):
+                    buf, start = [], first
+                    for b in it:
+                        buf.append(b)
+                        if len(buf) == spe:
+                            yield buf, start, len(buf)
+                            start += spe
+                            buf = []
+                    if buf:
+                        yield buf, start, len(buf)
+
+                def put(item):
+                    bs, start, n_real = item
+                    stacked, valid = stack_batches(bs, spe)
+                    stacked = shard_batch(self.mesh, stacked, axis=1)
+                    rngs = fold_in_range(base_rng, jnp.uint32(start), spe)
+                    return stacked, rngs, jnp.asarray(valid), n_real
+
+                feed = DevicePrefetcher(grouped(), put)
+            else:
+                feed = DevicePrefetcher(
+                    self.batcher.epoch(epoch),
+                    functools.partial(shard_batch, self.mesh))
+            tracing = False
             for batch in feed:
-                if profile_dir and self.global_step == 100:
+                if profile_dir and not tracing and self.global_step >= 100:
                     try:
                         jax.profiler.start_trace(profile_dir)
+                        tracing = True
                     except Exception as e:  # never let tracing kill training
                         print(f"[profiler] start_trace failed: {e}")
                         profile_dir = None
-                rng = jax.random.fold_in(base_rng, self.global_step)
-                self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, batch, lr_j, ep_j, rng)
-                if profile_dir and self.global_step == 120:
+                if spe > 1:
+                    stacked, rngs, valid, n_real = batch
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state, stacked, lr_j, ep_j,
+                        rngs, valid)
+                else:
+                    n_real = 1
+                    rng = jax.random.fold_in(base_rng, self.global_step)
+                    self.params, self.opt_state, metrics = self.train_step(
+                        self.params, self.opt_state, batch, lr_j, ep_j, rng)
+                if profile_dir and tracing and self.global_step >= 120:
                     try:
                         jax.tree_util.tree_map(
                             lambda x: x.block_until_ready(), self.params)
@@ -477,10 +565,15 @@ class NeRFSystem:
                     except Exception as e:
                         print(f"[profiler] stop_trace failed: {e}")
                     profile_dir = None
-                n_rays += h.batch_size
-                if self.global_step % getattr(h, "log_every", 50) == 0:
-                    m = {k: float(v) for k, v in
-                         jax.device_get(metrics).items()}
+                    tracing = False
+                n_rays += h.batch_size * n_real
+                log_every = getattr(h, "log_every", 50)
+                # with K steps per dispatch, log when the executed step window
+                # [global_step, global_step + n_real) crosses a multiple
+                if (self.global_step % log_every == 0
+                        or self.global_step % log_every + n_real > log_every):
+                    m = {k: float(np.asarray(v).reshape(-1)[n_real - 1])
+                         for k, v in jax.device_get(metrics).items()}
                     m["lr"] = lr
                     dt = time.time() - t0
                     if dt > 0:
@@ -488,7 +581,9 @@ class NeRFSystem:
                     self.logger.scalars(m, self.global_step)
                     self._last_metrics = (self.global_step, m)
                 refresh = getattr(h, "refresh_every", 0) or 0
-                if refresh > 0 and self.global_step % refresh == 0:
+                if refresh > 0 and (self.global_step % refresh == 0
+                                    or self.global_step % refresh
+                                    + n_real > refresh):
                     # console progress line (reference --refresh_every,
                     # opt.py:106-107: the progress-bar refresh cadence).
                     # Reuses the most recently fetched metrics so printing
@@ -506,7 +601,7 @@ class NeRFSystem:
                           f"{rps:,.0f} rays/s{tail}",
                           end="\r" if sys.stdout.isatty() else "\n",
                           flush=True)
-                self.global_step += 1
+                self.global_step += n_real
 
             val_loss, val_psnr, viz = self.run_validation(epoch + 1)
             self.logger.scalars(

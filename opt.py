@@ -127,6 +127,11 @@ def get_parser():
     parser.add_argument('--use_pallas', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='fused Pallas MLP kernel (auto = backend default)')
+    parser.add_argument('--steps_per_execution', type=int, default=1,
+                        help='optimizer steps folded into one compiled '
+                             'dispatch via lax.scan (bitwise-identical '
+                             'math; amortizes per-call dispatch latency '
+                             'on remote/tunneled device runtimes)')
     parser.add_argument('--seed', type=int, default=0,
                         help='PRNG seed for init, shuffling and sampling')
     parser.add_argument('--log_every', type=int, default=50,

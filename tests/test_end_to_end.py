@@ -81,6 +81,23 @@ def test_blender_eval_test_split_writes_gif(blender_scene, tmp_path):
         os.chdir(cwd)
 
 
+def test_steps_per_execution_e2e(blender_scene, tmp_path):
+    """fit() with K steps per dispatch trains the same run as K=1: same step
+    count (incl. the padded epoch tail) and same weights up to float32 drift
+    (the PRNG/batch streams are identical by construction)."""
+    save = str(tmp_path / "ckpts")
+    args = ['--root_dir', blender_scene, '--dataset_name', 'blender',
+            '--img_wh', '40', '40', '--save_path', save] + FAST
+    s1 = run_system(args + ['--exp_name', 'spe1'])
+    sK = run_system(args + ['--exp_name', 'speK',
+                            '--steps_per_execution', '4'])
+    assert s1.batcher.steps_per_epoch() % 4 != 0  # the tail path is exercised
+    assert sK.global_step == s1.global_step
+    np.testing.assert_allclose(
+        np.asarray(sK.params["nerf_coarse"]["xyz"][0]["w"]),
+        np.asarray(s1.params["nerf_coarse"]["xyz"][0]["w"]), atol=1e-3)
+
+
 def test_resume_from_checkpoint(blender_scene, tmp_path):
     save = str(tmp_path / "ckpts")
     args = ['--root_dir', blender_scene, '--dataset_name', 'blender',
@@ -190,12 +207,16 @@ def test_auto_resume(blender_scene, tmp_path):
 
 
 def test_multichip_cli_train(blender_scene, tmp_path):
-    """--num_gpus 8 drives the data-parallel mesh over the virtual devices."""
+    """--num_gpus 8 drives the data-parallel mesh over the virtual devices;
+    --steps_per_execution composes with the sharded (K, B, ...) batch
+    stacks (batch axis 1 over 'data')."""
     system = run_system(['--root_dir', blender_scene, '--dataset_name',
                          'blender', '--img_wh', '40', '40', '--num_gpus', '8',
+                         '--steps_per_execution', '3',
                          '--exp_name', 'dp8', '--save_path',
                          str(tmp_path / "ck")] + FAST)
     assert dict(system.mesh.shape) == {"data": 8, "model": 1}
+    assert system.global_step == system.batcher.steps_per_epoch()
 
 
 def test_phototourism_train_smoke(tmp_path):

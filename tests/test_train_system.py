@@ -104,6 +104,54 @@ def test_refine_pose_updates_poses():
         np.asarray(params["learn_poses"]["init_c2w"]), init)
 
 
+def test_steps_per_execution_matches_sequential():
+    """K scanned steps in one dispatch == K separate step calls, including a
+    padded (invalid-masked) tail sub-step that must be a no-op."""
+    from nerf_fl_tpu.training.system import fold_in_range, stack_batches
+
+    params, mask, tx, opt_state = build()
+    step1 = make_train_step(CFG, tx, mask, donate=False)
+    stepK = make_train_step(CFG, tx, mask, donate=False,
+                            steps_per_execution=4)
+    batches = [make_batch(seed=s) for s in range(3)]  # 3 real, 1 padded
+    lr, ep = jnp.float32(5e-4), jnp.float32(0)
+    base = jax.random.PRNGKey(7)
+
+    p1, o1 = params, opt_state
+    ms = []
+    for j, b in enumerate(batches):
+        p1, o1, m = step1(p1, o1, b, lr, ep, jax.random.fold_in(base, 10 + j))
+        ms.append(m)
+
+    stacked, valid = stack_batches(
+        [{k: np.asarray(v) for k, v in b.items()} for b in batches], 4)
+    assert list(valid) == [True, True, True, False]
+    rngs = fold_in_range(base, jnp.uint32(10), 4)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(rngs))[1],
+        np.asarray(jax.random.key_data(jax.random.fold_in(base, 11))))
+    pK, oK, mK = stepK(params, opt_state, stacked, lr, ep, rngs,
+                       jnp.asarray(valid))
+
+    # XLA fuses the scanned body differently from the standalone program, so
+    # agreement is float32-roundoff-level, amplified by Adam's sqrt(v)
+    # normalization over 3 steps — not bitwise
+    for j, m in enumerate(ms):
+        assert float(mK["train/loss"][j]) == pytest.approx(
+            float(m["train/loss"]), rel=1e-5), j
+    for sub in ("nerf_coarse", "nerf_fine"):
+        np.testing.assert_allclose(
+            np.asarray(p1[sub]["xyz"][0]["w"]),
+            np.asarray(pK[sub]["xyz"][0]["w"]), atol=1e-4,
+            err_msg=sub)
+    # the Adam moments must also agree (the padded sub-step touched nothing)
+    flat1 = jax.tree_util.tree_leaves(o1)
+    flatK = jax.tree_util.tree_leaves(oK)
+    for a, b in zip(flat1, flatK):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+
 def test_multidevice_dp_matches_single_device():
     assert len(jax.devices()) == 8
     params, mask, tx, opt_state = build()
