@@ -203,8 +203,10 @@ def main():
     # point, not block_until_ready — the tunneled device runtime used in
     # this environment acks buffers before compute drains, so only a real
     # device->host value transfer bounds the measured region honestly.
-    # The remote compile service occasionally 500s transiently: retry.
-    for attempt in range(3):
+    # The remote compile service occasionally 500s transiently: retry, and
+    # if the K-step scanned program cannot be compiled at all, fall back to
+    # the plain single-step program rather than failing the bench.
+    for attempt in range(4):
         try:
             for i in range(3):
                 params, opt_state, m = run_one(params, opt_state,
@@ -212,7 +214,13 @@ def main():
             float(np.asarray(m["train/loss"]).reshape(-1)[-1])
             break
         except Exception as e:
-            if attempt == 2:
+            if attempt >= 2 and spe > 1:
+                print(f"K={spe} program failed ({e}); falling back to "
+                      "steps_per_execution=1", file=sys.stderr)
+                spe, valid = 1, None
+                step = make_train_step(cfg, tx, mask, donate=True)
+                continue
+            if attempt == 3:
                 raise
             print(f"warmup attempt {attempt} failed ({e}); retrying",
                   file=sys.stderr)

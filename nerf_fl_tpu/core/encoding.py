@@ -14,6 +14,49 @@ import numpy as np
 
 PI = float(np.pi)
 
+# minimax odd polynomial for sin(2*pi*u) on u in [-0.5, 0.5]
+_SIN2PI = (6.2831834654095857, -41.341480259587343, 81.597655247118169,
+           -76.594899673933057, 41.269796373562237, -12.37227202917199)
+_INV_2PI = 0.15915494309189535
+# Cody-Waite split of 2*pi: HI has a 12-bit mantissa so n*HI (n <= ~2^10)
+# is exact in f32 and x - n*HI cancels without error
+_TWO_PI_HI = 6.28125
+_TWO_PI_LO = 0.0019353071795864769
+
+
+def sin_cw(x, quarter_turns=0.0):
+    """sin(x + 2*pi*quarter_turns) via Cody-Waite range reduction + odd
+    polynomial — ~3x cheaper than the libm-grade XLA lowering on the TPU
+    VPU (measured: jnp.sin costs ~3 ms per (524k, 128) f32 pass).
+
+    The phase offset is applied AFTER reduction, in turn units, where it is
+    exact — adding pi/2 to a large f32 argument would round the phase into
+    the argument's ulp grid (1e-4 at |x|~3000), which the x512 frequency
+    amplification of the xyz-PE backward turns into visible gradient error.
+    The two-constant reduction keeps the result within ~1e-6 of exact f32
+    sin/cos for |x| up to ~2^13 (the PE argument range: 2^9 * scene
+    coords).  Autodiff produces the polynomial's own derivative (round()
+    contributes zero), which approximates the true cosine to the same
+    accuracy."""
+    n = jnp.round(x * _INV_2PI)
+    r = x - n * _TWO_PI_HI
+    r = r - n * _TWO_PI_LO
+    u = r * _INV_2PI + quarter_turns
+    u = u - jnp.round(u)  # [-0.5, 0.5]
+    u2 = u * u
+    p = _SIN2PI[5]
+    for k in (4, 3, 2, 1, 0):
+        p = p * u2 + _SIN2PI[k]
+    return p * u
+
+
+def fast_sin(x):
+    return sin_cw(x)
+
+
+def fast_cos(x):
+    return sin_cw(x, 0.25)
+
 
 def posenc_freqs(max_logscale: int, N_freqs: int, logscale: bool = True) -> np.ndarray:
     """Frequency ladder. Matches reference nerf.py:14-17."""
@@ -23,19 +66,27 @@ def posenc_freqs(max_logscale: int, N_freqs: int, logscale: bool = True) -> np.n
 
 
 def posenc(x: jnp.ndarray, N_freqs: int, *, max_logscale: int | None = None,
-           logscale: bool = True, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+           logscale: bool = True, weights: jnp.ndarray | None = None,
+           fast: bool = False) -> jnp.ndarray:
     """Embed ``x`` (..., C) -> (..., C * (1 + 2*N_freqs)).
 
     ``weights`` (N_freqs,) optionally scales each frequency's sin/cos block —
     this is the BARF annealing hook (reference nerf.py:61-77 multiplies each
     block by a per-frequency weight, identity channels left untouched).
+
+    ``fast`` uses the Cody-Waite polynomial trig (error ~1e-6 vs exact f32,
+    far below bf16 resolution) — enabled on the bf16 compute path, where the
+    libm-grade sin/cos lowering is measurably VPU-bound.
     """
     if max_logscale is None:
         max_logscale = N_freqs - 1
     freqs = jnp.asarray(posenc_freqs(max_logscale, N_freqs, logscale), x.dtype)
     # (..., 1, C) * (F, 1) -> (..., F, C)
     xb = x[..., None, :] * freqs[:, None]
-    sin, cos = jnp.sin(xb), jnp.cos(xb)
+    if fast:
+        sin, cos = fast_sin(xb), fast_cos(xb)
+    else:
+        sin, cos = jnp.sin(xb), jnp.cos(xb)
     if weights is not None:
         w = weights.astype(x.dtype)[:, None]
         sin, cos = sin * w, cos * w
@@ -76,7 +127,8 @@ def barf_weights(epoch, N_freqs: int, epoch_start: int, epoch_end: int,
 
 def embed(x: jnp.ndarray, N_freqs: int, *, barf: bool = False, epoch=None,
           epoch_start: int = 4, epoch_end: int = 8,
-          max_logscale: int | None = None, logscale: bool = True) -> jnp.ndarray:
+          max_logscale: int | None = None, logscale: bool = True,
+          fast: bool = False) -> jnp.ndarray:
     """PosEmbedding / BarfPosEmbedding forward in one entry point.
 
     The reference hardcodes BARF epochs (4, 8) at train.py:43-44; they are
@@ -88,7 +140,8 @@ def embed(x: jnp.ndarray, N_freqs: int, *, barf: bool = False, epoch=None,
             raise ValueError("BARF embedding requires `epoch`")
         w = barf_weights(epoch, N_freqs, epoch_start, epoch_end,
                          max_logscale=max_logscale, logscale=logscale)
-    return posenc(x, N_freqs, max_logscale=max_logscale, logscale=logscale, weights=w)
+    return posenc(x, N_freqs, max_logscale=max_logscale, logscale=logscale,
+                  weights=w, fast=fast)
 
 
 def posenc_dim(C: int, N_freqs: int) -> int:

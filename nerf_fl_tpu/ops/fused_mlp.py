@@ -76,45 +76,10 @@ N_STATIC_W = 8 * 2 + 2 + 2 + 2   # trunk pairs + fs2 + dir + rgb-head
 N_TRANS_W = 5 * 2                # t0..t3 + fused transient heads
 N_ENC = 9  # PxR, phx, trgx, sx, PdR, phd, trgd, sd, ma
 
-# sin(2*pi*u) odd minimax polynomial on u in [-0.5, 0.5], max err ~3e-7
-_SIN2PI = (6.2831834654095857, -41.341480259587343, 81.597655247118169,
-           -76.594899673933057, 41.269796373562237, -12.37227202917199)
-_INV_2PI = 0.15915494309189535
-# Cody-Waite split of 2*pi: HI has a 12-bit mantissa so n*HI (n <= ~2^10)
-# is exact in f32 and x - n*HI cancels without error
-_TWO_PI_HI = 6.28125
-_TWO_PI_LO = 0.0019353071795864769
-
-
-def _pe_trig(x, quarter_turns=0.0):
-    """sin(x + 2*pi*quarter_turns) via Cody-Waite range reduction + odd
-    polynomial — ~3x cheaper than the libm-grade lowering.
-
-    The phase offset is applied AFTER reduction, in turn units, where it is
-    exact — adding pi/2 to a large f32 argument would round the phase into
-    the argument's ulp grid (1e-4 at |x|~3000), which the x512 frequency
-    amplification of the xyz-PE backward turns into visible gradient error.
-    The two-constant reduction keeps the phase error ~2e-7 for |x| up to
-    ~2^13 (the PE argument range: 2^9 * scene coords), so results match the
-    exact f32 sin/cos to ~1e-6."""
-    n = jnp.round(x * _INV_2PI)
-    r = x - n * _TWO_PI_HI
-    r = r - n * _TWO_PI_LO
-    u = r * _INV_2PI + quarter_turns
-    u = u - jnp.round(u)  # [-0.5, 0.5]
-    u2 = u * u
-    p = _SIN2PI[5]
-    for k in (4, 3, 2, 1, 0):
-        p = p * u2 + _SIN2PI[k]
-    return p * u
-
-
-def _fast_sin(x):
-    return _pe_trig(x)
-
-
-def _fast_cos(x):
-    return _pe_trig(x, 0.25)
+# Cody-Waite polynomial trig, shared with the XLA bf16 PE path
+from ..core.encoding import sin_cw as _pe_trig
+from ..core.encoding import fast_cos as _fast_cos
+from ..core.encoding import fast_sin as _fast_sin
 
 
 def _pad_to(x, rows=None, cols=None):

@@ -87,15 +87,19 @@ class RenderConfig:
 
 
 def _embed_xyz(cfg: RenderConfig, xyz, epoch):
+    # bf16 compute: polynomial trig (error ~1e-6, below bf16 resolution)
+    # replaces the VPU-bound libm sin/cos lowering — see encoding.sin_cw
     return encoding.embed(
         xyz, cfg.N_emb_xyz, barf=cfg.refine_pose, epoch=epoch,
-        epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end)
+        epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
+        fast=cfg.dtype == jnp.bfloat16)
 
 
 def _embed_dir(cfg: RenderConfig, d, epoch):
     return encoding.embed(
         d, cfg.N_emb_dir, barf=cfg.refine_pose, epoch=epoch,
-        epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end)
+        epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
+        fast=cfg.dtype == jnp.bfloat16)
 
 
 def _fused_ok(mcfg: NeRFConfig) -> bool:

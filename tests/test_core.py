@@ -110,6 +110,27 @@ def test_barf_weights_match_reference():
         np.testing.assert_allclose(ours, ref_w, atol=1e-6, err_msg=f"epoch {epoch}")
 
 
+def test_posenc_fast_trig_accuracy():
+    """Cody-Waite polynomial PE (the bf16 compute path) must match exact f32
+    sin/cos to ~1e-6 — far below bf16 resolution — over the full PE argument
+    range (|x| up to ~8 scene units -> args up to 2^9 * 8 = 4096)."""
+    import jax
+    x = np.random.default_rng(5).uniform(-8, 8, size=(512, 3)).astype(
+        np.float32)
+    exact = np.asarray(encoding.posenc(jnp.asarray(x), 10))
+    fast = np.asarray(encoding.posenc(jnp.asarray(x), 10, fast=True))
+    assert np.abs(fast - exact).max() < 3e-6
+
+    # gradients: d/dx sin(fx) = f cos(fx) with f up to 512, so the gradient
+    # SCALE is ~512; the polynomial's derivative error measures ~6e-3
+    # absolute = ~1e-5 relative to that scale (bf16 resolution is ~4e-3)
+    g_exact = jax.grad(
+        lambda v: encoding.posenc(v, 10).sum())(jnp.asarray(x))
+    g_fast = jax.grad(
+        lambda v: encoding.posenc(v, 10, fast=True).sum())(jnp.asarray(x))
+    assert np.abs(np.asarray(g_fast) - np.asarray(g_exact)).max() < 2e-2
+
+
 def test_posenc_dim():
     assert encoding.posenc_dim(3, 10) == 63
     assert encoding.posenc_dim(3, 4) == 27
