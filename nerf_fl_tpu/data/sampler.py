@@ -19,12 +19,22 @@ class RayBatcher:
     """Shuffled-epoch batch iterator over flat (rays, ts, rgbs) buffers."""
 
     def __init__(self, rays: np.ndarray, ts: np.ndarray, rgbs: np.ndarray,
-                 batch_size: int, seed: int = 0, drop_last: bool = True):
+                 batch_size: int, seed: int = 0, drop_last: bool = True,
+                 host_index: int = 0, host_count: int = 1):
+        """``batch_size`` is the GLOBAL batch; with ``host_count`` > 1 every
+        process draws the same seeded permutation and materializes only its
+        contiguous batch_size/host_count slice (the multihost data
+        contract, parallel/multihost.py)."""
         assert len(rays) == len(ts) == len(rgbs)
+        if batch_size % host_count:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"host_count {host_count}")
         self.rays, self.ts, self.rgbs = rays, ts, rgbs
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.host_index = host_index
+        self.host_count = host_count
         self.n = len(rays)
 
     def steps_per_epoch(self) -> int:
@@ -38,9 +48,11 @@ class RayBatcher:
         rng = np.random.default_rng(self.seed + epoch_idx)
         perm = rng.permutation(self.n)
         B = self.batch_size
+        lo = self.host_index * B // self.host_count
+        hi = (self.host_index + 1) * B // self.host_count
         stop = self.n - (self.n % B) if self.drop_last else self.n
         for i in range(0, stop, B):
-            idx = perm[i:i + B]
+            idx = perm[i:i + B][lo:hi]
             yield {"rays": self.rays[idx], "ts": self.ts[idx],
                    "rgbs": self.rgbs[idx]}
 

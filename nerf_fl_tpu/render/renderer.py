@@ -55,6 +55,13 @@ class RenderConfig:
     barf_epoch_end: int = 8
     compute_dtype: str = "float32"  # "bfloat16" on the perf path
     use_pallas: Optional[bool] = None  # None = auto (on when running on TPU)
+    fast_trig: Optional[bool] = None  # None = auto (polynomial PE on bf16)
+
+    @property
+    def use_fast_trig(self) -> bool:
+        if self.fast_trig is not None:
+            return self.fast_trig
+        return self.compute_dtype == "bfloat16"
 
     @property
     def in_channels_xyz(self) -> int:
@@ -92,14 +99,14 @@ def _embed_xyz(cfg: RenderConfig, xyz, epoch):
     return encoding.embed(
         xyz, cfg.N_emb_xyz, barf=cfg.refine_pose, epoch=epoch,
         epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
-        fast=cfg.dtype == jnp.bfloat16)
+        fast=cfg.use_fast_trig)
 
 
 def _embed_dir(cfg: RenderConfig, d, epoch):
     return encoding.embed(
         d, cfg.N_emb_dir, barf=cfg.refine_pose, epoch=epoch,
         epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
-        fast=cfg.dtype == jnp.bfloat16)
+        fast=cfg.use_fast_trig)
 
 
 def _fused_ok(mcfg: NeRFConfig) -> bool:

@@ -73,6 +73,8 @@ def config_from_hparams(hparams, white_back: bool) -> RenderConfig:
         compute_dtype=getattr(hparams, "compute_dtype", "float32"),
         use_pallas={"auto": None, "on": True, "off": False}[
             getattr(hparams, "use_pallas", "auto")],
+        fast_trig={"auto": None, "on": True, "off": False}[
+            getattr(hparams, "fast_trig", "auto")],
     )
 
 
@@ -205,7 +207,7 @@ def fold_in_range(base, start, k: int):
 
 @functools.lru_cache(maxsize=32)
 def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool,
-                   keys):
+                   keys, out_sharding=None):
     def run(params, rays, ts, rng, epoch):
         res = render_rays(params, rays, ts, rng, cfg, epoch=epoch,
                           test_time=test_time,
@@ -217,6 +219,10 @@ def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool,
             # 32k-ray chunk, which is ~50x the pixels being rendered)
             res = {k: v for k, v in res.items() if k in keys}
         return res
+    # multihost: replicate the (small) pixel outputs so every process can
+    # device_get and assemble the frame
+    if out_sharding is not None:
+        return jax.jit(run, out_shardings=out_sharding)
     return jax.jit(run)
 
 
@@ -243,8 +249,15 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     eval.py is single-GPU).
     """
     n = len(rays)
+    nproc = jax.process_count()
+    out_sh = None
+    if nproc > 1:
+        if mesh is None:
+            raise ValueError("multihost render requires a mesh")
+        from ..parallel import replicated
+        out_sh = replicated(mesh)
     fn = _jitted_render(cfg, test_time, output_transient,
-                        None if keys is None else frozenset(keys))
+                        None if keys is None else frozenset(keys), out_sh)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
@@ -258,8 +271,23 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
             chunk = -(-chunk // ndata) * ndata
             print(f"[render] rounding chunk up to {chunk} "
                   f"(multiple of data={ndata})")
-        sharding = batch_sharding(mesh)
-        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+        if nproc > 1:
+            # every process holds the full chunk; hand the runtime only the
+            # contiguous slice this process's devices own ('data' axis is
+            # process-contiguous, parallel/multihost.py)
+            from ..parallel import multihost
+            if ndata % nproc:
+                raise ValueError(f"data axis {ndata} not divisible by "
+                                 f"{nproc} processes")
+            p = jax.process_index()
+
+            def put(x, p=p):
+                lo = p * len(x) // nproc
+                hi = (p + 1) * len(x) // nproc
+                return multihost.global_batch(mesh, np.asarray(x[lo:hi]))
+        else:
+            sharding = batch_sharding(mesh)
+            put = lambda x: jax.device_put(jnp.asarray(x), sharding)
 
     outs = defaultdict(list)
     pending: deque = deque()
@@ -386,7 +414,8 @@ class NeRFSystem:
         self.batcher = RayBatcher(
             self.train_dataset.all_rays, self.train_dataset.all_ts,
             self.train_dataset.all_rgbs, h.batch_size,
-            seed=getattr(h, "seed", 0))
+            seed=getattr(h, "seed", 0),
+            host_index=jax.process_index(), host_count=jax.process_count())
 
     # -- state ---------------------------------------------------------
     def configure(self):
@@ -456,6 +485,14 @@ class NeRFSystem:
             print(f"[ckpt] loaded weights (non-strict) from {path}: "
                   f"{', '.join(loaded)}")
 
+    def _place_batch(self, batch, axis: int = 0):
+        """Host batch -> device placement: plain shard on a single process,
+        global-array assembly from per-host slices on multihost."""
+        if jax.process_count() > 1:
+            from ..parallel import multihost
+            return multihost.global_batch(self.mesh, batch, axis=axis)
+        return shard_batch(self.mesh, batch, axis=axis)
+
     # -- validation ----------------------------------------------------
     def run_validation(self, epoch: int, max_images: Optional[int] = None):
         h = self.hparams
@@ -494,8 +531,13 @@ class NeRFSystem:
     # -- the loop ------------------------------------------------------
     def fit(self):
         h = self.hparams
+        is_main = jax.process_index() == 0
         if self.logger is None:
-            self.logger = ExperimentLogger("logs", h.exp_name)
+            if is_main:
+                self.logger = ExperimentLogger("logs", h.exp_name)
+            else:
+                from .logging import NullLogger
+                self.logger = NullLogger()
         ckpt_dir = os.path.join(h.save_path, h.exp_name)
         base_rng = jax.random.PRNGKey(getattr(h, "seed", 0) + 1234)
 
@@ -528,15 +570,14 @@ class NeRFSystem:
                 def put(item):
                     bs, start, n_real = item
                     stacked, valid = stack_batches(bs, spe)
-                    stacked = shard_batch(self.mesh, stacked, axis=1)
+                    stacked = self._place_batch(stacked, axis=1)
                     rngs = fold_in_range(base_rng, jnp.uint32(start), spe)
                     return stacked, rngs, jnp.asarray(valid), n_real
 
                 feed = DevicePrefetcher(grouped(), put)
             else:
-                feed = DevicePrefetcher(
-                    self.batcher.epoch(epoch),
-                    functools.partial(shard_batch, self.mesh))
+                feed = DevicePrefetcher(self.batcher.epoch(epoch),
+                                        self._place_batch)
             tracing = False
             for batch in feed:
                 if profile_dir and not tracing and self.global_step >= 100:
@@ -611,8 +652,9 @@ class NeRFSystem:
             print(f"epoch {epoch}: lr={lr:.3e} val/loss={val_loss:.4f} "
                   f"val/psnr={val_psnr:.2f}")
 
-            checkpoints.save_checkpoint(
-                os.path.join(ckpt_dir, f"epoch={epoch}.ckpt"),
-                self.params, self.opt_state, epoch=epoch,
-                global_step=self.global_step)
+            if is_main:
+                checkpoints.save_checkpoint(
+                    os.path.join(ckpt_dir, f"epoch={epoch}.ckpt"),
+                    self.params, self.opt_state, epoch=epoch,
+                    global_step=self.global_step)
         self.logger.close()

@@ -127,6 +127,21 @@ def get_parser():
     parser.add_argument('--use_pallas', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='fused Pallas MLP kernel (auto = backend default)')
+    parser.add_argument('--fast_trig', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='polynomial PE sin/cos, error ~1e-6 '
+                             '(auto = on for bfloat16 compute)')
+    parser.add_argument('--num_hosts', type=int, default=1,
+                        help='processes in a multi-host job; >1 connects '
+                             'jax.distributed before backend init. '
+                             '--num_gpus stays the TOTAL chip count across '
+                             'hosts; the batch is sharded globally and '
+                             'gradients all-reduce over ICI/DCN')
+    parser.add_argument('--host_index', type=int, default=0,
+                        help='this process\'s index in [0, num_hosts)')
+    parser.add_argument('--coordinator_address', type=str,
+                        default='localhost:12321',
+                        help='host:port of process 0 for jax.distributed')
     parser.add_argument('--steps_per_execution', type=int, default=1,
                         help='optimizer steps folded into one compiled '
                              'dispatch via lax.scan (bitwise-identical '

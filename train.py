@@ -11,6 +11,12 @@ from nerf_fl_tpu.training.system import NeRFSystem
 
 
 def main(hparams):
+    if getattr(hparams, "num_hosts", 1) > 1:
+        # must run before any JAX backend use (parallel/multihost.py)
+        from nerf_fl_tpu.parallel import multihost
+        multihost.initialize_distributed(
+            hparams.coordinator_address, hparams.num_hosts,
+            hparams.host_index)
     system = NeRFSystem(hparams)
     system.setup()
     system.configure()
