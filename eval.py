@@ -56,6 +56,10 @@ def get_opts(argv=None):
                         choices=['gif', 'mp4'])
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--fast_trig', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='polynomial PE sin/cos, error ~1e-6 '
+                             '(auto = on for bfloat16 compute)')
     parser.add_argument('--save_depth', default=False, action="store_true",
                         help='also save depth maps as PFM')
     parser.add_argument('--compute_ssim', default=False, action="store_true",
@@ -78,7 +82,9 @@ def build_eval_state(args):
         N_emb_xyz=args.N_emb_xyz, N_emb_dir=args.N_emb_dir,
         encode_a=args.encode_a, N_a=args.N_a,
         encode_t=args.encode_t, N_tau=args.N_tau,
-        beta_min=args.beta_min, compute_dtype=args.compute_dtype)
+        beta_min=args.beta_min, compute_dtype=args.compute_dtype,
+        fast_trig={"auto": None, "on": True,
+                   "off": False}[getattr(args, "fast_trig", "auto")])
 
     params = build_params(jax.random.PRNGKey(0), cfg, args.N_vocab)
     for name in list(params):
