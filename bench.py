@@ -137,7 +137,8 @@ def main():
     # see --steps_per_execution).  Dispatch through the tunneled runtime
     # costs 0.5-5 ms per call depending on session weather; K=8 amortizes it.
     spe = max(1, int(os.environ.get("BENCH_SPE", 8)))
-    measure_steps -= measure_steps % spe  # whole K-groups per window
+    # whole K-groups per window, at least one
+    measure_steps = max(spe, measure_steps - measure_steps % spe)
 
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
@@ -203,11 +204,15 @@ def main():
     # point, not block_until_ready — the tunneled device runtime used in
     # this environment acks buffers before compute drains, so only a real
     # device->host value transfer bounds the measured region honestly.
-    # The remote compile service occasionally 500s transiently: retry, and
-    # if the K-step scanned program cannot be compiled at all, fall back to
-    # the plain single-step program rather than failing the bench.
+    # The remote compile service occasionally 500s transiently: retry with
+    # FRESH state each attempt (donation may have consumed/poisoned the old
+    # buffers even on a post-dispatch failure), and if the K-step scanned
+    # program keeps failing, fall back to the plain single-step program
+    # rather than failing the bench.
     for attempt in range(4):
         try:
+            params = build_params(jax.random.PRNGKey(0), cfg, 1500)
+            opt_state = tx.init(params)
             for i in range(3):
                 params, opt_state, m = run_one(params, opt_state,
                                                get_group(i * spe))

@@ -29,6 +29,11 @@ class RayBatcher:
         if batch_size % host_count:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"host_count {host_count}")
+        if host_count > 1 and not drop_last:
+            # a short tail batch would slice to different lengths on
+            # different hosts -> inconsistent global shapes across processes
+            raise ValueError("drop_last=False is not supported with "
+                             "host-sharded batching")
         self.rays, self.ts, self.rgbs = rays, ts, rgbs
         self.batch_size = batch_size
         self.seed = seed

@@ -48,9 +48,11 @@ def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
     return Mesh(dev, ("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (ray-batch) axis over 'data'."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Ray-batch axis (position ``axis``) over 'data'.  The single source of
+    the batch-sharding spec — train, render and multihost placement all
+    route through it."""
+    return NamedSharding(mesh, P(*([None] * axis + ["data"])))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -71,7 +73,7 @@ def shard_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
     import jax.numpy as jnp
     if mesh.devices.size == 1 and mesh.devices.flat[0] == jax.devices()[0]:
         return jax.tree_util.tree_map(jnp.asarray, batch)
-    s = NamedSharding(mesh, P(*([None] * axis + ["data"])))
+    s = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -17,11 +17,11 @@ hosts so every process can assemble the frame.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def initialize_distributed(coordinator_address: str, num_hosts: int,
@@ -51,9 +51,9 @@ def global_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
     axis to be laid out process-contiguously, which `make_mesh` guarantees
     (it reshapes ``jax.devices()``, whose order is by process index).
     """
+    from .mesh import batch_sharding
     n = jax.process_count()
-    spec = P(*([None] * axis + ["data"]))
-    sharding = NamedSharding(mesh, spec)
+    sharding = batch_sharding(mesh, axis)
 
     def put(x):
         x = np.asarray(x)

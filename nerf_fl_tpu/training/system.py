@@ -443,6 +443,16 @@ class NeRFSystem:
                       "starting fresh")
         if ckpt_path:
             self.restore(ckpt_path)
+        if jax.process_count() > 1:
+            # every process resolves --ckpt_path independently (auto-resume
+            # scans the local save_path); if they disagree — e.g. per-host
+            # local disks where only host 0 has the checkpoint — the SPMD
+            # job would silently mix parameter states.  Fail loudly instead.
+            from jax.experimental import multihost_utils
+            multihost_utils.assert_equal(
+                np.int32([self.start_epoch, self.global_step]),
+                "checkpoint resume state differs across hosts — use a "
+                "shared save_path or pass an explicit --ckpt_path")
 
         # --num_gpus (reference flag) = data-parallel width in chips
         self.mesh = make_mesh(num_data=max(1, getattr(h, "num_gpus", 1)),
@@ -545,6 +555,11 @@ class NeRFSystem:
         if getattr(h, "num_sanity_val_steps", 1) > 0:
             self.run_validation(self.start_epoch, max_images=1)
 
+        # profile a ~20-step window relative to THIS run's start (steps
+        # 100-120 of the run), so resumed runs trace a full window too
+        profile_start = self.global_step + 100
+        profile_stop = self.global_step + 120
+
         for epoch in range(self.start_epoch, h.num_epochs):
             lr = lr_for_epoch(h, epoch)
             lr_j = jnp.float32(lr)
@@ -580,7 +595,8 @@ class NeRFSystem:
                                         self._place_batch)
             tracing = False
             for batch in feed:
-                if profile_dir and not tracing and self.global_step >= 100:
+                if profile_dir and not tracing \
+                        and self.global_step >= profile_start:
                     try:
                         jax.profiler.start_trace(profile_dir)
                         tracing = True
@@ -597,7 +613,8 @@ class NeRFSystem:
                     rng = jax.random.fold_in(base_rng, self.global_step)
                     self.params, self.opt_state, metrics = self.train_step(
                         self.params, self.opt_state, batch, lr_j, ep_j, rng)
-                if profile_dir and tracing and self.global_step >= 120:
+                if profile_dir and tracing \
+                        and self.global_step >= profile_stop:
                     try:
                         jax.tree_util.tree_map(
                             lambda x: x.block_until_ready(), self.params)

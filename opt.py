@@ -144,9 +144,10 @@ def get_parser():
                         help='host:port of process 0 for jax.distributed')
     parser.add_argument('--steps_per_execution', type=int, default=1,
                         help='optimizer steps folded into one compiled '
-                             'dispatch via lax.scan (bitwise-identical '
-                             'math; amortizes per-call dispatch latency '
-                             'on remote/tunneled device runtimes)')
+                             'dispatch via lax.scan (same math up to '
+                             'float32 roundoff; amortizes per-call '
+                             'dispatch latency on remote/tunneled device '
+                             'runtimes)')
     parser.add_argument('--seed', type=int, default=0,
                         help='PRNG seed for init, shuffling and sampling')
     parser.add_argument('--log_every', type=int, default=50,
