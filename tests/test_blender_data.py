@@ -108,3 +108,26 @@ def test_batcher_epoch_determinism_and_coverage(blender_scene):
     batch = next(iter(b.epoch(0)))
     assert set(batch) == {"rays", "ts", "rgbs"}
     assert batch["rays"].shape == (512, 8)
+
+
+def test_batcher_host_sharding(blender_scene):
+    """The two hosts' slices of each batch concatenate to exactly the
+    single-host batch (the multihost data contract), and unsupported
+    configurations are rejected loudly."""
+    import pytest
+
+    ds = BlenderDataset(blender_scene, "train", img_wh=(40, 40))
+    full = RayBatcher(ds.all_rays, ds.all_ts, ds.all_rgbs, 512, seed=7)
+    h0 = RayBatcher(ds.all_rays, ds.all_ts, ds.all_rgbs, 512, seed=7,
+                    host_index=0, host_count=2)
+    h1 = RayBatcher(ds.all_rays, ds.all_ts, ds.all_rgbs, 512, seed=7,
+                    host_index=1, host_count=2)
+    for bf, b0, b1 in zip(full.epoch(3), h0.epoch(3), h1.epoch(3)):
+        for k in bf:
+            np.testing.assert_array_equal(
+                np.concatenate([b0[k], b1[k]]), bf[k])
+    with pytest.raises(ValueError, match="divisible"):
+        RayBatcher(ds.all_rays, ds.all_ts, ds.all_rgbs, 511, host_count=2)
+    with pytest.raises(ValueError, match="drop_last"):
+        RayBatcher(ds.all_rays, ds.all_ts, ds.all_rgbs, 512,
+                   drop_last=False, host_count=2)
