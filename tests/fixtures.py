@@ -143,12 +143,23 @@ def make_phototourism_scene(root: str, n_images: int = 5, size: int = 32,
         c2w_cv[:3, 1:3] *= -1
         w2c = np.linalg.inv(c2w_cv)
         R, t = w2c[:3, :3], w2c[:3, 3]
-        # rotmat -> quaternion (w, x, y, z)
+        # rotmat -> quaternion (w, x, y, z), branching on the largest
+        # diagonal term so near-trace(-1) rotations stay finite
         tr = np.trace(R)
-        w = np.sqrt(max(0.0, 1 + tr)) / 2
-        x = (R[2, 1] - R[1, 2]) / (4 * w)
-        y = (R[0, 2] - R[2, 0]) / (4 * w)
-        z = (R[1, 0] - R[0, 1]) / (4 * w)
+        if tr > 0:
+            s = 2 * np.sqrt(1 + tr)
+            w, x, y, z = (s / 4, (R[2, 1] - R[1, 2]) / s,
+                          (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s)
+        else:
+            k = int(np.argmax(np.diag(R)))
+            i, j, l = k, (k + 1) % 3, (k + 2) % 3
+            s = 2 * np.sqrt(max(0.0, 1 + R[i, i] - R[j, j] - R[l, l]))
+            q = [0.0, 0.0, 0.0]
+            q[i] = s / 4
+            q[j] = (R[j, i] + R[i, j]) / s
+            q[l] = (R[l, i] + R[i, l]) / s
+            w = (R[l, j] - R[j, l]) / s
+            x, y, z = q
         name = f"img_{n:03d}.jpg"
         img = _render_ball(size, c2w, focal)[..., :3]
         Image.fromarray(img).save(os.path.join(root, "dense/images", name))

@@ -62,6 +62,26 @@ def test_two_process_training_matches_single_process(blender_scene, tmp_path):
     system.configure()
     system.fit()
 
+    # ---- resume-divergence guard: host 0 resumes from the checkpoint the
+    # single-process run just wrote, host 1 starts fresh -> configure()
+    # must fail loudly on BOTH processes instead of silently mixing states
+    sp_ckpt = os.path.join(str(tmp_path / "sp"), "sp", "epoch=0.ckpt")
+    assert os.path.exists(sp_ckpt)
+    procs2 = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "multihost_worker.py"),
+             str(i), str(port + 1), blender_scene,
+             str(tmp_path / "mh_div")]
+            + (["--ckpt_path", sp_ckpt] if i == 0 else []),
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs2 = [p.communicate(timeout=600)[0] for p in procs2]
+    assert all(p.returncode != 0 for p in procs2), outs2
+    assert any("differs across hosts" in o for o in outs2), outs2[0][-2000:]
+
     from flax import serialization
     mh_params = serialization.from_state_dict(system.params,
                                               mh["state_dict"])
