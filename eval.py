@@ -172,9 +172,13 @@ def main(args):
     os.makedirs(dir_name, exist_ok=True)
 
     typ = 'fine' if args.N_importance > 0 else 'coarse'
-    wanted = (f'rgb_{typ}', f'depth_{typ}', 'rgb_fine_static',
-              'rgb_fine_transient', 'depth_fine_static',
-              'depth_fine_transient', 'beta')
+    # fetch ONLY what this loop consumes: the keyed render prunes both the
+    # device computation and the device->host payload (13 floats/ray for
+    # the full test-time result set vs 3-4 here; the decomposition outputs
+    # are served by notebooks/render_decomposition.py instead)
+    wanted = [f'rgb_{typ}']
+    if args.save_depth:
+        wanted.append(f'depth_{typ}')
 
     # Unlike the reference (whose chunk also limits the internal MLP point
     # batches, rendering.py:119), our chunk IS the fused program size: cap
