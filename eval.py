@@ -190,8 +190,17 @@ def main(args):
     if chunk < args.chunk:
         print(f'[eval] clamping chunk {args.chunk} -> {chunk} '
               f'({total_samples} samples/ray)')
-    for i in range(len(dataset)):
-        sample = dataset[i]
+    # per-frame host work (ray generation in dataset[i], PNG encode) costs
+    # as much as the render itself — overlap it: a prefetch thread builds
+    # the next frame's rays while the device renders, and image writes run
+    # on a small writer pool joined at the end
+    from concurrent.futures import ThreadPoolExecutor
+    from nerf_fl_tpu.training.system import DevicePrefetcher
+    writer = ThreadPoolExecutor(max_workers=2)
+    writes = []
+    frames = DevicePrefetcher(iter(range(len(dataset))),
+                              lambda i: dataset[i], depth=2)
+    for i, sample in enumerate(frames):
         results = render_chunked(
             params, sample['rays'], sample['ts'], cfg, chunk=chunk,
             test_time=True, keys=wanted, mesh=mesh, **render_kwargs)
@@ -204,11 +213,14 @@ def main(args):
         img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
         img_pred_ = (img_pred * 255).astype(np.uint8)
         imgs.append(img_pred_)
-        imageio.imwrite(os.path.join(dir_name, f'{i:03d}.png'), img_pred_)
+        writes.append(writer.submit(
+            imageio.imwrite, os.path.join(dir_name, f'{i:03d}.png'),
+            img_pred_))
         if args.save_depth:
             from nerf_fl_tpu.data.pfm import save_pfm
-            save_pfm(os.path.join(dir_name, f'depth_{i:03d}.pfm'),
-                     results[f'depth_{typ}'].reshape(h, w).astype(np.float32))
+            writes.append(writer.submit(
+                save_pfm, os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                results[f'depth_{typ}'].reshape(h, w).astype(np.float32)))
 
         if 'rgbs' in sample:
             img_gt = sample['rgbs'].reshape(h, w, 3)
@@ -219,6 +231,10 @@ def main(args):
                     img_pred.transpose(2, 0, 1)[None],
                     np.ascontiguousarray(img_gt.transpose(2, 0, 1))[None])))
         print(f'frame {i + 1}/{len(dataset)}', flush=True)
+
+    for f in writes:
+        f.result()  # surface writer-thread errors
+    writer.shutdown()
 
     if args.dataset_name == 'blender' or \
             (args.dataset_name == 'phototourism' and args.split == 'test'):
