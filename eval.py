@@ -65,6 +65,19 @@ def get_opts(argv=None):
     parser.add_argument('--compute_ssim', default=False, action="store_true",
                         help='also report mean SSIM (the reference computes '
                              'SSIM only in its notebooks)')
+    parser.add_argument('--optimize_appearance', default=False,
+                        action="store_true",
+                        help='NeRF-W paper eval protocol: fit each held-out '
+                             'image\'s appearance embedding on its LEFT '
+                             'half (weights frozen), report PSNR on the '
+                             'RIGHT half (needs --encode_a and GT images; '
+                             'no reference equivalent)')
+    parser.add_argument('--opt_a_steps', type=int, default=100,
+                        help='Adam steps for --optimize_appearance')
+    parser.add_argument('--opt_a_lr', type=float, default=0.1,
+                        help='Adam lr for --optimize_appearance')
+    parser.add_argument('--opt_a_rays', type=int, default=4096,
+                        help='left-half rays sampled for the fit')
     return parser.parse_args(argv)
 
 
@@ -201,14 +214,33 @@ def main(args):
     frames = DevicePrefetcher(iter(range(len(dataset))),
                               lambda i: dataset[i], depth=2)
     for i, sample in enumerate(frames):
-        results = render_chunked(
-            params, sample['rays'], sample['ts'], cfg, chunk=chunk,
-            test_time=True, keys=wanted, mesh=mesh, **render_kwargs)
-
         if args.dataset_name == 'blender':
             w, h = args.img_wh
         else:
             w, h = (int(x) for x in sample['img_wh'])
+
+        a_override = None
+        right_mask = None
+        if args.optimize_appearance and args.encode_a and 'rgbs' in sample:
+            from nerf_fl_tpu.render.appearance import optimize_appearance
+            cols = np.arange(len(sample['rays'])) % w
+            left = np.flatnonzero(cols < w // 2)
+            right_mask = cols >= w // 2
+            rng_np = np.random.default_rng(1000 + i)
+            sel = rng_np.choice(left, size=min(args.opt_a_rays, len(left)),
+                                replace=False)
+            a_override, fit_losses = optimize_appearance(
+                params, sample['rays'][sel], sample['ts'][sel],
+                sample['rgbs'][sel], cfg,
+                steps=args.opt_a_steps, lr=args.opt_a_lr)
+            print(f'[opt_a] frame {i}: fit mse '
+                  f'{float(fit_losses[0]):.4f} -> '
+                  f'{float(fit_losses[-1]):.4f}', flush=True)
+
+        results = render_chunked(
+            params, sample['rays'], sample['ts'], cfg, chunk=chunk,
+            test_time=True, keys=wanted, mesh=mesh, a_override=a_override,
+            **render_kwargs)
 
         img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
         img_pred_ = (img_pred * 255).astype(np.uint8)
@@ -224,7 +256,12 @@ def main(args):
 
         if 'rgbs' in sample:
             img_gt = sample['rgbs'].reshape(h, w, 3)
-            psnrs.append(float(psnr_fn(img_gt, img_pred)))
+            if right_mask is not None:
+                # paper protocol: the fitted embedding never saw these pixels
+                m = right_mask.reshape(h, w)
+                psnrs.append(float(psnr_fn(img_gt[m], img_pred[m])))
+            else:
+                psnrs.append(float(psnr_fn(img_gt, img_pred)))
             if args.compute_ssim:
                 from nerf_fl_tpu.training.metrics import ssim as ssim_fn
                 ssims.append(float(ssim_fn(

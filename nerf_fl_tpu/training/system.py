@@ -207,11 +207,18 @@ def fold_in_range(base, start, k: int):
 
 @functools.lru_cache(maxsize=32)
 def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool,
-                   keys, out_sharding=None):
-    def run(params, rays, ts, rng, epoch):
+                   keys, out_sharding=None, with_a_override: bool = False):
+    def run(params, rays, ts, rng, epoch, a_override=None):
+        a_embedded = None
+        if with_a_override:
+            # one (N_a,) appearance vector for the whole batch (test-time
+            # appearance optimization, render/appearance.py)
+            a_embedded = jnp.broadcast_to(
+                a_override, (rays.shape[0], a_override.shape[-1]))
         res = render_rays(params, rays, ts, rng, cfg, epoch=epoch,
                           test_time=test_time,
-                          output_transient=output_transient)
+                          output_transient=output_transient,
+                          a_embedded=a_embedded)
         if keys is not None:
             # returning only the requested keys lets XLA dead-code-eliminate
             # the per-sample buffers (weights, transient sigmas) entirely —
@@ -231,7 +238,7 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
                    test_time: bool = True, output_transient: bool = True,
                    epoch: float = 0.0, rng=None,
                    keys=None, inflight: int = 4,
-                   mesh=None) -> Dict[str, np.ndarray]:
+                   mesh=None, a_override=None) -> Dict[str, np.ndarray]:
     """Render arbitrarily many rays through fixed-shape compiled chunks.
 
     The reference chunks to avoid OOM (eval.py:80-110); here chunking also
@@ -257,7 +264,10 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         from ..parallel import replicated
         out_sh = replicated(mesh)
     fn = _jitted_render(cfg, test_time, output_transient,
-                        None if keys is None else frozenset(keys), out_sh)
+                        None if keys is None else frozenset(keys), out_sh,
+                        a_override is not None)
+    if a_override is not None:
+        a_override = jnp.asarray(a_override)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     epoch = jnp.float32(epoch)
@@ -309,7 +319,8 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
             # TPU register-allocation bug on this toolchain).
             r = np.concatenate([r, np.repeat(r[-1:], pad, 0)], 0)
             t = np.concatenate([t, np.repeat(t[-1:], pad, 0)], 0)
-        res = fn(params, put(r), put(t), jax.random.fold_in(rng, i), epoch)
+        args = (params, put(r), put(t), jax.random.fold_in(rng, i), epoch)
+        res = fn(*args, a_override) if a_override is not None else fn(*args)
         pending.append((res, len(rays[i:i + chunk])))
         if len(pending) >= max(1, inflight):
             drain_one()

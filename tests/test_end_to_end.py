@@ -81,6 +81,59 @@ def test_blender_eval_test_split_writes_gif(blender_scene, tmp_path):
         os.chdir(cwd)
 
 
+def test_eval_optimize_appearance(blender_scene, tmp_path):
+    """--optimize_appearance fits a held-out image's embedding on its left
+    half and scores the right half; the fit must reduce its own mse and the
+    whole pipeline must run end to end (no reference equivalent)."""
+    save = str(tmp_path / "ckpts")
+    run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                '--img_wh', '40', '40', '--encode_a', '--N_vocab', '8',
+                '--data_perturb', 'color', '--exp_name', 'opta',
+                '--save_path', save] + FAST)
+    ckpt = glob.glob(os.path.join(save, 'opta', '*.ckpt'))[0]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            mean_psnr = eval_cli.main(eval_cli.get_opts(
+                ['--root_dir', blender_scene, '--dataset_name', 'blender',
+                 '--scene_name', 'opta_eval', '--split', 'val',
+                 '--img_wh', '40', '40', '--N_samples', '8',
+                 '--N_importance', '8', '--N_vocab', '8', '--encode_a',
+                 '--chunk', '4096', '--ckpt_path', ckpt,
+                 '--optimize_appearance', '--opt_a_steps', '25',
+                 '--opt_a_rays', '512']))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        fits = [ln for ln in buf.getvalue().splitlines() if '[opt_a]' in ln]
+        assert len(fits) == 2  # one per val image
+        first, last = fits[0].split('fit mse ')[1].split(' -> ')
+        assert float(last) < float(first)  # the fit actually descended
+    finally:
+        os.chdir(cwd)
+
+
+def test_optimize_appearance_unit():
+    """The jitted fit reduces its own mse on synthetic data."""
+    import jax
+    from nerf_fl_tpu.render import RenderConfig
+    from nerf_fl_tpu.render.appearance import optimize_appearance
+    from nerf_fl_tpu.training.system import build_params
+    from tests.test_train_system import make_batch
+
+    cfg = RenderConfig(N_samples=8, N_importance=8, noise_std=0.0,
+                       perturb=0.0, encode_a=True, N_a=16)
+    params = build_params(jax.random.PRNGKey(0), cfg, 8)
+    b = make_batch(n=256)
+    a_opt, losses = optimize_appearance(
+        params, np.asarray(b["rays"]), np.asarray(b["ts"]),
+        np.asarray(b["rgbs"]), cfg, steps=20, lr=0.1)
+    assert a_opt.shape == (16,)
+    assert float(losses[-1]) < float(losses[0])
+
+
 def test_steps_per_execution_e2e(blender_scene, tmp_path):
     """fit() with K steps per dispatch trains the same run as K=1: same step
     count (incl. the padded epoch tail) and same weights up to float32 drift
