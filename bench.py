@@ -188,7 +188,8 @@ def main():
         like training's fit() loop (training/system.py DevicePrefetcher) —
         per-transfer tunnel latency must overlap the step, not add to it."""
         return DevicePrefetcher(
-            iter(range(i0, i0 + n_groups * spe, spe)), get_group, depth=4)
+            iter(range(i0, i0 + n_groups * spe, spe)), get_group,
+            depth=int(os.environ.get("BENCH_DEPTH", 4)))
 
     def run_one(params, opt_state, item):
         batch, ks = item
