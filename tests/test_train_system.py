@@ -327,6 +327,34 @@ def test_render_chunked_sharded_matches_single_device():
                                    err_msg=k)
 
 
+def test_render_chunked_a_override_matches_direct():
+    """render_chunked(a_override=v) must equal render_rays with the same
+    vector broadcast as a_embedded (the appearance-optimization path)."""
+    from nerf_fl_tpu.render import render_rays
+
+    cfg = RenderConfig(N_samples=8, N_importance=8, noise_std=0.0,
+                       perturb=0.0, encode_a=True, N_a=16)
+    params = build_params(jax.random.PRNGKey(0), cfg, 8)
+    b = make_batch(n=300)
+    v = jax.random.normal(jax.random.PRNGKey(3), (16,))
+    chunked = render_chunked(params, np.asarray(b["rays"]),
+                             np.asarray(b["ts"]), cfg, chunk=128,
+                             test_time=True, keys=("rgb_fine",),
+                             a_override=v, rng=jax.random.PRNGKey(0))
+    direct = render_rays(
+        params, b["rays"][:128], b["ts"][:128],
+        jax.random.fold_in(jax.random.PRNGKey(0), 0), cfg, test_time=True,
+        a_embedded=jnp.broadcast_to(v, (128, 16)))
+    np.testing.assert_allclose(chunked["rgb_fine"][:128],
+                               np.asarray(direct["rgb_fine"]), atol=1e-5)
+    # and it actually changes the output vs the embedding-table render
+    plain = render_chunked(params, np.asarray(b["rays"]),
+                           np.asarray(b["ts"]), cfg, chunk=128,
+                           test_time=True, keys=("rgb_fine",),
+                           rng=jax.random.PRNGKey(0))
+    assert np.abs(plain["rgb_fine"] - chunked["rgb_fine"]).max() > 1e-4
+
+
 def test_render_chunked_matches_unchunked():
     params, *_ = build()
     b = make_batch(n=300)
