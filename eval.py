@@ -96,6 +96,7 @@ def build_eval_state(args):
         encode_a=args.encode_a, N_a=args.N_a,
         encode_t=args.encode_t, N_tau=args.N_tau,
         beta_min=args.beta_min, compute_dtype=args.compute_dtype,
+        refine_pose=args.refine_pose,
         fast_trig={"auto": None, "on": True,
                    "off": False}[getattr(args, "fast_trig", "auto")])
 
@@ -136,6 +137,7 @@ def main(args):
         mesh = make_mesh(num_data=args.num_gpus)
         params = place_params(mesh, params)
 
+    render_kwargs = {}
     if args.refine_pose:
         # Compose the learned deltas onto the dataset's poses.  Learned poses
         # exist only for the cameras seen in training: phototourism indexes
@@ -153,8 +155,12 @@ def main(args):
                     np.asarray, ckpt['state_dict']['learn_poses'])
                 refined = np.asarray(all_poses(lp))[:, :3]
                 dataset.apply_refined_poses(refined)
+            # a BARF model must be rendered at its checkpoint's annealing
+            # state: early ckpts never trained the high-frequency PE
+            # channels, so the full embedding would feed random weights
+            # (for ckpts past epoch_end this is the full embedding anyway)
+            render_kwargs['epoch'] = float(ckpt.get('epoch', 0))
 
-    render_kwargs = {}
     if args.dataset_name == 'phototourism' and args.split == 'test':
         # test camera + dolly path (reference eval.py:162-184)
         dataset.test_img_w, dataset.test_img_h = args.img_wh

@@ -324,3 +324,30 @@ def test_phototourism_refine_pose_smoke(tmp_path):
         + FAST)
     r = np.asarray(system.params['learn_poses']['r'])
     assert np.abs(r).max() > 0  # poses actually moved
+
+
+def test_refine_pose_eval_matches_training_quality(blender_scene, tmp_path):
+    """eval --refine_pose must render a BARF checkpoint at its own
+    annealing epoch: an early ckpt rendered with the FULL (un-annealed) PE
+    feeds untrained high-frequency weights and collapses by ~15 dB
+    (regression caught on the TPU validation sweep)."""
+    save = str(tmp_path / "ckpts")
+    s = run_system(['--root_dir', blender_scene, '--dataset_name', 'blender',
+                    '--img_wh', '40', '40', '--refine_pose',
+                    '--exp_name', 'barf_q', '--save_path', save] + FAST)
+    _, train_psnr, _ = s.run_validation(epoch=1, max_images=1)
+    ckpt = glob.glob(os.path.join(save, 'barf_q', '*.ckpt'))[0]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        mean_psnr = eval_cli.main(eval_cli.get_opts(
+            ['--root_dir', blender_scene, '--dataset_name', 'blender',
+             '--scene_name', 'barf_q', '--split', 'test_train',
+             '--img_wh', '40', '40', '--N_samples', '8',
+             '--N_importance', '8', '--chunk', '4096',
+             '--refine_pose', '--ckpt_path', ckpt]))
+        # same model, same (train) views: eval must land near the
+        # training-val number, not collapse to the un-annealed render
+        assert mean_psnr > train_psnr - 3.0, (mean_psnr, train_psnr)
+    finally:
+        os.chdir(cwd)
