@@ -96,7 +96,7 @@ def build_eval_state(args):
         encode_a=args.encode_a, N_a=args.N_a,
         encode_t=args.encode_t, N_tau=args.N_tau,
         beta_min=args.beta_min, compute_dtype=args.compute_dtype,
-        refine_pose=args.refine_pose,
+        refine_pose=getattr(args, 'refine_pose', False),
         fast_trig={"auto": None, "on": True,
                    "off": False}[getattr(args, "fast_trig", "auto")])
 
