@@ -139,6 +139,14 @@ def main(args):
 
     render_kwargs = {}
     if args.refine_pose:
+        ckpt = checkpoints.load_checkpoint(args.ckpt_path)
+        # a BARF model must be rendered at its checkpoint's annealing
+        # state regardless of whether learned poses apply to this split:
+        # early ckpts never trained the high-frequency PE channels, so
+        # defaulting to epoch 0 would zero every frequency weight and a
+        # trained ckpt would render garbage (for ckpts past epoch_end
+        # this is the full embedding anyway)
+        render_kwargs['epoch'] = float(ckpt.get('epoch', 0))
         # Compose the learned deltas onto the dataset's poses.  Learned poses
         # exist only for the cameras seen in training: phototourism indexes
         # them by tsv image order (valid for every split); for blender they
@@ -146,20 +154,14 @@ def main(args):
         if args.dataset_name == 'blender' and args.split != 'test_train':
             print('[eval] --refine_pose on blender applies only to '
                   '--split test_train (learned poses are per-train-frame); '
-                  'ignoring')
-        else:
-            ckpt = checkpoints.load_checkpoint(args.ckpt_path)
-            if 'learn_poses' in ckpt.get('state_dict', {}):
-                from nerf_fl_tpu.models.poses import all_poses
-                lp = jax.tree_util.tree_map(
-                    np.asarray, ckpt['state_dict']['learn_poses'])
-                refined = np.asarray(all_poses(lp))[:, :3]
-                dataset.apply_refined_poses(refined)
-            # a BARF model must be rendered at its checkpoint's annealing
-            # state: early ckpts never trained the high-frequency PE
-            # channels, so the full embedding would feed random weights
-            # (for ckpts past epoch_end this is the full embedding anyway)
-            render_kwargs['epoch'] = float(ckpt.get('epoch', 0))
+                  'ignoring the pose deltas (PE still anneals at the '
+                  'checkpoint epoch)')
+        elif 'learn_poses' in ckpt.get('state_dict', {}):
+            from nerf_fl_tpu.models.poses import all_poses
+            lp = jax.tree_util.tree_map(
+                np.asarray, ckpt['state_dict']['learn_poses'])
+            refined = np.asarray(all_poses(lp))[:, :3]
+            dataset.apply_refined_poses(refined)
 
     if args.dataset_name == 'phototourism' and args.split == 'test':
         # test camera + dolly path (reference eval.py:162-184)
@@ -229,6 +231,13 @@ def main(args):
         right_mask = None
         if args.optimize_appearance and args.encode_a and 'rgbs' in sample:
             from nerf_fl_tpu.render.appearance import optimize_appearance
+            # the left/right split derives pixel columns from ray index,
+            # which requires raster-ordered rays (row-major, all current
+            # datasets); any other order would silently fit and score on
+            # wrong pixel sets
+            assert len(sample['rays']) == w * h, \
+                f"raster-order assumption broken: {len(sample['rays'])} " \
+                f"rays != {w}x{h}"
             cols = np.arange(len(sample['rays'])) % w
             left = np.flatnonzero(cols < w // 2)
             right_mask = cols >= w // 2

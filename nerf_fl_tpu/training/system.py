@@ -345,15 +345,29 @@ class DevicePrefetcher:
     def __init__(self, it, put, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = False
+
+        def blocking_put(item):
+            # bounded put that aborts when the consumer closed us, so an
+            # early consumer exit can't leave the worker parked on a full
+            # queue holding device buffers alive
+            while not self._stop:
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def work():
             try:
                 for b in it:
-                    self._q.put(put(b))
+                    if self._stop or not blocking_put(put(b)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._END)
+                blocking_put(self._END)
 
         self._t = threading.Thread(target=work, daemon=True)
         self._t.start()
@@ -368,6 +382,27 @@ class DevicePrefetcher:
                 raise self._err
             raise StopIteration
         return b
+
+    def close(self):
+        """Stop the worker and drop queued batches.
+
+        Call on early consumer exit (exception / KeyboardInterrupt):
+        without it the daemon thread keeps gathering and transferring up
+        to ``depth`` batches and the queued device buffers stay retained.
+        Idempotent; a no-op after normal exhaustion.
+        """
+        self._stop = True
+        while self._t.is_alive():
+            try:
+                self._q.get_nowait()  # unblock a worker stuck in put()
+            except queue.Empty:
+                pass
+            self._t.join(timeout=0.05)
+        while True:  # release anything still queued
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                return
 
 
 # ----------------------------------------------------------------------
@@ -605,72 +640,78 @@ class NeRFSystem:
                 feed = DevicePrefetcher(self.batcher.epoch(epoch),
                                         self._place_batch)
             tracing = False
-            for batch in feed:
-                if profile_dir and not tracing \
-                        and self.global_step >= profile_start:
-                    try:
-                        jax.profiler.start_trace(profile_dir)
-                        tracing = True
-                    except Exception as e:  # never let tracing kill training
-                        print(f"[profiler] start_trace failed: {e}")
+            try:
+                for batch in feed:
+                    if profile_dir and not tracing \
+                            and self.global_step >= profile_start:
+                        try:
+                            jax.profiler.start_trace(profile_dir)
+                            tracing = True
+                        except Exception as e:  # never let tracing kill training
+                            print(f"[profiler] start_trace failed: {e}")
+                            profile_dir = None
+                    if spe > 1:
+                        stacked, rngs, valid, n_real = batch
+                        self.params, self.opt_state, metrics = self.train_step(
+                            self.params, self.opt_state, stacked, lr_j, ep_j,
+                            rngs, valid)
+                    else:
+                        n_real = 1
+                        rng = jax.random.fold_in(base_rng, self.global_step)
+                        self.params, self.opt_state, metrics = self.train_step(
+                            self.params, self.opt_state, batch, lr_j, ep_j, rng)
+                    if profile_dir and tracing \
+                            and self.global_step >= profile_stop:
+                        try:
+                            jax.tree_util.tree_map(
+                                lambda x: x.block_until_ready(), self.params)
+                            jax.profiler.stop_trace()
+                            print(f"[profiler] trace written to {profile_dir}")
+                        except Exception as e:
+                            print(f"[profiler] stop_trace failed: {e}")
                         profile_dir = None
-                if spe > 1:
-                    stacked, rngs, valid, n_real = batch
-                    self.params, self.opt_state, metrics = self.train_step(
-                        self.params, self.opt_state, stacked, lr_j, ep_j,
-                        rngs, valid)
-                else:
-                    n_real = 1
-                    rng = jax.random.fold_in(base_rng, self.global_step)
-                    self.params, self.opt_state, metrics = self.train_step(
-                        self.params, self.opt_state, batch, lr_j, ep_j, rng)
-                if profile_dir and tracing \
-                        and self.global_step >= profile_stop:
-                    try:
-                        jax.tree_util.tree_map(
-                            lambda x: x.block_until_ready(), self.params)
-                        jax.profiler.stop_trace()
-                        print(f"[profiler] trace written to {profile_dir}")
-                    except Exception as e:
-                        print(f"[profiler] stop_trace failed: {e}")
-                    profile_dir = None
-                    tracing = False
-                n_rays += h.batch_size * n_real
-                log_every = getattr(h, "log_every", 50)
-                # with K steps per dispatch, log when the executed step window
-                # [global_step, global_step + n_real) crosses a multiple
-                if (self.global_step % log_every == 0
-                        or self.global_step % log_every + n_real > log_every):
-                    m = {k: float(np.asarray(v).reshape(-1)[n_real - 1])
-                         for k, v in jax.device_get(metrics).items()}
-                    m["lr"] = lr
-                    dt = time.time() - t0
-                    if dt > 0:
-                        m["train/rays_per_sec"] = n_rays / dt
-                    self.logger.scalars(m, self.global_step)
-                    self._last_metrics = (self.global_step, m)
-                refresh = getattr(h, "refresh_every", 0) or 0
-                if refresh > 0 and (self.global_step % refresh == 0
-                                    or self.global_step % refresh
-                                    + n_real > refresh):
-                    # console progress line (reference --refresh_every,
-                    # opt.py:106-107: the progress-bar refresh cadence).
-                    # Reuses the most recently fetched metrics so printing
-                    # never forces a device sync mid-epoch.
-                    dt = time.time() - t0
-                    rps = n_rays / dt if dt > 0 else 0.0
-                    seen, m = getattr(self, "_last_metrics",
-                                      (None, {}))
-                    tail = ""
-                    if seen is not None:
-                        tail = (f" loss={m.get('train/loss', float('nan')):.4f}"
-                                f" psnr={m.get('train/psnr', float('nan')):.2f}"
-                                f" (step {seen})")
-                    print(f"epoch {epoch} step {self.global_step} "
-                          f"{rps:,.0f} rays/s{tail}",
-                          end="\r" if sys.stdout.isatty() else "\n",
-                          flush=True)
-                self.global_step += n_real
+                        tracing = False
+                    n_rays += h.batch_size * n_real
+                    log_every = getattr(h, "log_every", 50)
+                    # with K steps per dispatch, log when the executed step window
+                    # [global_step, global_step + n_real) crosses a multiple
+                    if (self.global_step % log_every == 0
+                            or self.global_step % log_every + n_real > log_every):
+                        m = {k: float(np.asarray(v).reshape(-1)[n_real - 1])
+                             for k, v in jax.device_get(metrics).items()}
+                        m["lr"] = lr
+                        dt = time.time() - t0
+                        if dt > 0:
+                            m["train/rays_per_sec"] = n_rays / dt
+                        # the fetched metrics row is sub-step n_real-1 of the
+                        # window, so record it at that step, not window start
+                        log_step = self.global_step + n_real - 1
+                        self.logger.scalars(m, log_step)
+                        self._last_metrics = (log_step, m)
+                    refresh = getattr(h, "refresh_every", 0) or 0
+                    if refresh > 0 and (self.global_step % refresh == 0
+                                        or self.global_step % refresh
+                                        + n_real > refresh):
+                        # console progress line (reference --refresh_every,
+                        # opt.py:106-107: the progress-bar refresh cadence).
+                        # Reuses the most recently fetched metrics so printing
+                        # never forces a device sync mid-epoch.
+                        dt = time.time() - t0
+                        rps = n_rays / dt if dt > 0 else 0.0
+                        seen, m = getattr(self, "_last_metrics",
+                                          (None, {}))
+                        tail = ""
+                        if seen is not None:
+                            tail = (f" loss={m.get('train/loss', float('nan')):.4f}"
+                                    f" psnr={m.get('train/psnr', float('nan')):.2f}"
+                                    f" (step {seen})")
+                        print(f"epoch {epoch} step {self.global_step} "
+                              f"{rps:,.0f} rays/s{tail}",
+                              end="\r" if sys.stdout.isatty() else "\n",
+                              flush=True)
+                    self.global_step += n_real
+            finally:
+                feed.close()
 
             val_loss, val_psnr, viz = self.run_validation(epoch + 1)
             self.logger.scalars(
