@@ -17,17 +17,32 @@ Baselines (the reference publishes NO throughput numbers, SURVEY.md sec. 6):
     REF_CPU_BENCH.json (delete it or set BENCH_REMEASURE_REF=1 to re-run).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Budget discipline (this harness must produce its number COLD inside the
+driver's wall-clock budget; round 2 timed out and lost the round's perf
+evidence):
+  * a persistent XLA compilation cache (.jax_bench_cache/, committed
+    pre-warmed) turns the 30-400 s axon remote compiles into second-scale
+    cache loads — measured 412.8 s -> 8.5 s for the same program;
+  * BENCH_BUDGET_S (default 480) bounds the run: the plain K=1 program is
+    compiled and measured FIRST so a result exists early, then the K=8
+    scanned program upgrades it only if time remains;
+  * every stage prints a timestamped line to stderr immediately;
+  * SIGTERM/SIGINT (what `timeout` sends) emits the best-so-far JSON line
+    before exiting, so even a mis-budgeted run leaves a parsed artifact.
 """
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC_2080TI = 6000.0  # documented estimate, see docstring
-REF_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "REF_CPU_BENCH.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REF_CPU_CACHE = os.path.join(_HERE, "REF_CPU_BENCH.json")
+COMPILE_CACHE = os.path.join(_HERE, ".jax_bench_cache")
 
 
 def measure_reference_cpu(batch_size=1024, steps=None):
@@ -118,15 +133,81 @@ def reference_cpu_rays_per_sec():
     return r
 
 
+_T0 = time.perf_counter()
+_BEST = {"result": None}  # emitted by the signal handler on timeout
+
+
+def _progress(msg):
+    print(f"[bench +{time.perf_counter() - _T0:5.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _finalize(rays_per_sec, spe, windows, note=None):
+    result = {
+        "metric": "train_rays_per_sec_nerfw_64+64_b1024",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "steps_per_execution": spe,
+        "windows": [round(r, 1) for r in windows],
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_2080TI, 2),
+        "baseline_note": "vs documented 2080Ti estimate (6000 rays/s)",
+    }
+    if note:
+        result["note"] = note
+    # measured same-host torch comparator, if already cached (never burn
+    # bench budget re-measuring it; BENCH_REMEASURE_REF forces a re-run)
+    ref_cpu = None
+    if os.path.exists(REF_CPU_CACHE) and \
+            not os.environ.get("BENCH_REMEASURE_REF"):
+        with open(REF_CPU_CACHE) as f:
+            ref_cpu = json.load(f)["rays_per_sec"]
+    if ref_cpu:
+        result["reference_cpu_rays_per_sec"] = round(ref_cpu, 1)
+        result["vs_reference_cpu_same_host"] = round(rays_per_sec / ref_cpu, 2)
+    return result
+
+
+def _on_signal(signum, frame):
+    if _BEST["result"] is not None:
+        r = dict(_BEST["result"])
+        r["note"] = f"emitted on signal {signum} (budget exceeded)"
+        print(json.dumps(r), flush=True)
+        os._exit(0)
+    _progress(f"signal {signum} before any measurement completed")
+    os._exit(1)
+
+
 def main():
+    budget = float(os.environ.get("BENCH_BUDGET_S", 480))
+    deadline = _T0 + budget
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    def time_left():
+        return deadline - time.perf_counter()
+
+    _progress(f"budget {budget:.0f}s; importing jax")
     import jax
+
+    # Persistent compilation cache: the axon remote-compile path costs
+    # 30-400 s per program COLD but honors the cache (measured 412.8 s ->
+    # 8.5 s for an identical program).  The pre-warmed cache is committed
+    # with the repo so a cold driver run pays seconds, not minutes.
+    try:
+        jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:
+        _progress(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
+    import types
 
     from nerf_fl_tpu.render import RenderConfig
     from nerf_fl_tpu.training.optimizers import (build_optimizer,
                                                  make_trainable_mask)
-    from nerf_fl_tpu.training.system import build_params, make_train_step
-    import types
+    from nerf_fl_tpu.training.system import (DevicePrefetcher, build_params,
+                                             fold_in_range, make_train_step)
 
     batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -136,22 +217,17 @@ def main():
     # K optimizer steps per compiled dispatch (lax.scan; same training math,
     # see --steps_per_execution).  Dispatch through the tunneled runtime
     # costs 0.5-5 ms per call depending on session weather; K=8 amortizes it.
-    spe = max(1, int(os.environ.get("BENCH_SPE", 8)))
-    # whole K-groups per window, at least one
-    measure_steps = max(spe, measure_steps - measure_steps % spe)
+    spe_target = max(1, int(os.environ.get("BENCH_SPE", 8)))
 
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
                        perturb=1.0, noise_std=0.0,
                        compute_dtype=compute_dtype)
-    params = build_params(jax.random.PRNGKey(0), cfg, 1500)
-    mask = make_trainable_mask(params, refine_pose=False)
+    params0 = build_params(jax.random.PRNGKey(0), cfg, 1500)
+    mask = make_trainable_mask(params0, refine_pose=False)
     h = types.SimpleNamespace(optimizer="adam", lr=5e-4, momentum=0.9,
                               weight_decay=0.0)
     tx = build_optimizer(h)
-    opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, mask, donate=True,
-                           steps_per_execution=spe)
 
     # synthetic ray pool (data feed is a host gather, same as real training)
     rng = np.random.default_rng(0)
@@ -165,11 +241,11 @@ def main():
     pool_ts = rng.integers(0, 1500, n_pool).astype(np.int32)
     pool_rgb = rng.uniform(0, 1, (n_pool, 3)).astype(np.float32)
 
-    from nerf_fl_tpu.training.system import DevicePrefetcher, fold_in_range
+    lr = jnp.float32(5e-4)
+    ep = jnp.float32(0.0)
+    key = jax.random.PRNGKey(1)
 
-    valid = jnp.ones((spe,), bool) if spe > 1 else None
-
-    def get_group(i0):
+    def get_group(i0, spe):
         """(K, B, ...) host gather in one shot, transferred as one stack."""
         idx = rng.integers(0, n_pool, spe * batch_size)
         batch = {"rays": jnp.asarray(
@@ -182,83 +258,111 @@ def main():
             return batch, jax.random.fold_in(key, i0)
         return batch, fold_in_range(key, jnp.uint32(i0), spe)
 
-    def feed(i0, n_groups):
+    def feed(i0, n_groups, spe):
         """Prefetched (batch, keys) stream: host gather + transfer + key
         derivation run on a worker thread ahead of the consumer, exactly
         like training's fit() loop (training/system.py DevicePrefetcher) —
         per-transfer tunnel latency must overlap the step, not add to it."""
         return DevicePrefetcher(
-            iter(range(i0, i0 + n_groups * spe, spe)), get_group,
+            iter(range(i0, i0 + n_groups * spe, spe)),
+            lambda i: get_group(i, spe),
             depth=int(os.environ.get("BENCH_DEPTH", 4)))
 
-    def run_one(params, opt_state, item):
-        batch, ks = item
-        if spe == 1:
-            return step(params, opt_state, batch, lr, ep, ks)
-        return step(params, opt_state, batch, lr, ep, ks, valid)
+    def make_runner(spe):
+        step = make_train_step(cfg, tx, mask, donate=True,
+                               steps_per_execution=spe)
+        valid = jnp.ones((spe,), bool) if spe > 1 else None
 
-    lr = jnp.float32(5e-4)
-    ep = jnp.float32(0.0)
-    key = jax.random.PRNGKey(1)
+        def run_one(params, opt_state, item):
+            batch, ks = item
+            if spe == 1:
+                return step(params, opt_state, batch, lr, ep, ks)
+            return step(params, opt_state, batch, lr, ep, ks, valid)
+        return run_one
 
-    # warmup / compile.  NOTE: a scalar readback (float(...)) is the sync
-    # point, not block_until_ready — the tunneled device runtime used in
-    # this environment acks buffers before compute drains, so only a real
-    # device->host value transfer bounds the measured region honestly.
-    # The remote compile service occasionally 500s transiently: retry with
-    # FRESH state each attempt (donation may have consumed/poisoned the old
-    # buffers even on a post-dispatch failure), and if the K-step scanned
-    # program keeps failing, fall back to the plain single-step program
-    # rather than failing the bench.
-    for attempt in range(4):
-        try:
-            params = build_params(jax.random.PRNGKey(0), cfg, 1500)
-            opt_state = tx.init(params)
-            for i in range(3):
-                params, opt_state, m = run_one(params, opt_state,
-                                               get_group(i * spe))
-            float(np.asarray(m["train/loss"]).reshape(-1)[-1])
-            break
-        except Exception as e:
-            if attempt >= 2 and spe > 1:
-                print(f"K={spe} program failed ({e}); falling back to "
-                      "steps_per_execution=1", file=sys.stderr)
-                spe, valid = 1, None
-                step = make_train_step(cfg, tx, mask, donate=True)
-                continue
-            if attempt == 3:
-                raise
-            print(f"warmup attempt {attempt} failed ({e}); retrying",
-                  file=sys.stderr)
-            time.sleep(20)
+    def warmup(run_one, spe):
+        """Compile + 3 steps + honest readback.  NOTE: a scalar readback
+        (float(...)) is the sync point, not block_until_ready — the
+        tunneled device runtime acks buffers before compute drains, so
+        only a real device->host transfer bounds timing honestly.  The
+        remote compile service occasionally 500s transiently: retry with
+        FRESH state (donation may have consumed the old buffers)."""
+        for attempt in range(3):
+            try:
+                params = build_params(jax.random.PRNGKey(0), cfg, 1500)
+                opt_state = tx.init(params)
+                for i in range(3):
+                    params, opt_state, m = run_one(params, opt_state,
+                                                   get_group(i * spe, spe))
+                float(np.asarray(m["train/loss"]).reshape(-1)[-1])
+                return params, opt_state
+            except Exception as e:
+                if attempt == 2:
+                    raise
+                _progress(f"K={spe} warmup attempt {attempt} failed ({e}); "
+                          "retrying")
+                time.sleep(2)
 
-    # three measurement windows; report the median (tunnel-induced stalls
-    # occasionally dent a single window by ~20%)
-    rates = []
-    for w in range(3):
-        stream = feed(100 + w * measure_steps, measure_steps // spe)
+    def window(run_one, params, opt_state, steps, spe, w):
+        stream = feed(100 + w * steps, max(1, steps // spe), spe)
+        n = max(1, steps // spe) * spe
         t0 = time.perf_counter()
         for item in stream:
             params, opt_state, m = run_one(params, opt_state, item)
         # depends on the full step chain via donation
         float(np.asarray(m["train/loss"]).reshape(-1)[-1])
         dt = time.perf_counter() - t0
-        rates.append(measure_steps * batch_size / dt)
+        return params, opt_state, n * batch_size / dt
 
-    rays_per_sec = sorted(rates)[1]
-    result = {
-        "metric": "train_rays_per_sec_nerfw_64+64_b1024",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s/chip",
-        "steps_per_execution": spe,
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_2080TI, 2),
-        "baseline_note": "vs documented 2080Ti estimate (6000 rays/s)",
-    }
-    ref_cpu = reference_cpu_rays_per_sec()
-    if ref_cpu:
-        result["reference_cpu_rays_per_sec"] = round(ref_cpu, 1)
-        result["vs_reference_cpu_same_host"] = round(rays_per_sec / ref_cpu, 2)
-    print(json.dumps(result))
+    def publish(rates, spe, note=None):
+        med = sorted(rates)[len(rates) // 2] if len(rates) % 2 else \
+            sorted(rates)[len(rates) // 2 - 1]  # lower median: conservative
+        _BEST["result"] = _finalize(med, spe, rates, note)
+        return med
+
+    # ---- stage 1: plain K=1 program first — a result must exist EARLY ----
+    _progress("stage 1: K=1 compile+warmup")
+    run1 = make_runner(1)
+    params, opt_state = warmup(run1, 1)
+    _progress("stage 1: K=1 warm; measuring one window")
+    params, opt_state, r = window(run1, params, opt_state, measure_steps, 1, 0)
+    publish([r], 1, "K=1 only (budget)")
+    _progress(f"stage 1: K=1 window {r:,.0f} rays/s")
+
+    # ---- stage 2: upgrade to the K-step scanned program if time allows ----
+    spe = spe_target
+    if spe > 1 and time_left() > 90:
+        try:
+            _progress(f"stage 2: K={spe} compile+warmup "
+                      f"({time_left():.0f}s left)")
+            runk = make_runner(spe)
+            params, opt_state = warmup(runk, spe)
+            rates = []
+            est = measure_steps * batch_size / max(r, 1.0) + 2.0
+            for w in range(3):
+                if rates and time_left() < est + 10:
+                    break
+                params, opt_state, rk = window(
+                    runk, params, opt_state, measure_steps, spe, 1 + w)
+                rates.append(rk)
+                est = measure_steps * batch_size / max(rk, 1.0) + 2.0
+                _progress(f"stage 2: K={spe} window {w}: {rk:,.0f} rays/s "
+                          f"({time_left():.0f}s left)")
+                publish(rates, spe,
+                        None if len(rates) >= 3 else
+                        f"{len(rates)}/3 windows (budget)")
+        except Exception as e:
+            _progress(f"stage 2 failed ({e}); keeping K=1 result")
+    else:
+        _progress("skipping K>1 stage (budget or BENCH_SPE=1)")
+
+    # ---- comparator + emit -------------------------------------------------
+    if not os.path.exists(REF_CPU_CACHE) and time_left() > 120:
+        reference_cpu_rays_per_sec()
+        _BEST["result"] = _finalize(
+            _BEST["result"]["value"], _BEST["result"]["steps_per_execution"],
+            _BEST["result"]["windows"], _BEST["result"].get("note"))
+    print(json.dumps(_BEST["result"]), flush=True)
 
 
 if __name__ == "__main__":
