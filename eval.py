@@ -15,51 +15,16 @@ import numpy as np
 
 
 def get_opts(argv=None):
+    from nerf_fl_tpu.utils.cli import add_shared_flags
     parser = ArgumentParser()
-    parser.add_argument('--root_dir', type=str, required=True,
-                        help='root directory of dataset')
-    parser.add_argument('--dataset_name', type=str, default='blender',
-                        choices=['blender', 'phototourism'],
-                        help='which dataset to validate')
+    add_shared_flags(parser, "eval")
+
     parser.add_argument('--scene_name', type=str, default='test',
                         help='scene name, used as output folder name')
     parser.add_argument('--split', type=str, default='val',
                         choices=['val', 'test', 'test_train'])
-    parser.add_argument('--img_wh', nargs="+", type=int, default=[800, 800],
-                        help='resolution (img_w, img_h) of the image')
-    parser.add_argument('--img_downscale', type=int, default=1,
-                        help='how much to downscale the images for phototourism dataset')
-    parser.add_argument('--use_cache', default=False, action="store_true",
-                        help='whether to use ray cache (make sure img_downscale is the same)')
-
-    parser.add_argument('--N_emb_xyz', type=int, default=10)
-    parser.add_argument('--N_emb_dir', type=int, default=4)
-    parser.add_argument('--N_samples', type=int, default=64)
-    parser.add_argument('--N_importance', type=int, default=128)
-    parser.add_argument('--use_disp', default=False, action="store_true")
-
-    parser.add_argument('--N_vocab', type=int, default=100)
-    parser.add_argument('--encode_a', default=False, action="store_true")
-    parser.add_argument('--N_a', type=int, default=48)
-    parser.add_argument('--encode_t', default=False, action="store_true")
-    parser.add_argument('--N_tau', type=int, default=16)
-    parser.add_argument('--beta_min', type=float, default=0.1)
-    parser.add_argument('--refine_pose', default=False, action="store_true",
-                        help='apply learned pose deltas from the checkpoint')
-
-    parser.add_argument('--chunk', type=int, default=32 * 1024 * 4)
-    parser.add_argument('--num_gpus', type=int, default=1,
-                        help='shard each render chunk over this many chips '
-                             '(data-parallel evaluation)')
-    parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--video_format', type=str, default='gif',
                         choices=['gif', 'mp4'])
-    parser.add_argument('--compute_dtype', type=str, default='float32',
-                        choices=['float32', 'bfloat16'])
-    parser.add_argument('--fast_trig', type=str, default='auto',
-                        choices=['auto', 'on', 'off'],
-                        help='polynomial PE sin/cos, error ~1e-6 '
-                             '(auto = on for bfloat16 compute)')
     parser.add_argument('--save_depth', default=False, action="store_true",
                         help='also save depth maps as PFM')
     parser.add_argument('--compute_ssim', default=False, action="store_true",
@@ -97,6 +62,8 @@ def build_eval_state(args):
         encode_t=args.encode_t, N_tau=args.N_tau,
         beta_min=args.beta_min, compute_dtype=args.compute_dtype,
         refine_pose=getattr(args, 'refine_pose', False),
+        use_pallas={"auto": None, "on": True,
+                    "off": False}[getattr(args, "use_pallas", "auto")],
         fast_trig={"auto": None, "on": True,
                    "off": False}[getattr(args, "fast_trig", "auto")])
 
