@@ -119,21 +119,10 @@ def assemble_world_rays(params, rays, ts, *, ray_format: str,
 # jitted step factories
 # ----------------------------------------------------------------------
 
-def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
-                    loss_name: str = "nerfw", ray_format: str = "world",
-                    id_to_cam: Optional[np.ndarray] = None,
-                    donate: bool = True, steps_per_execution: int = 1):
-    """Build the single jitted SPMD train step.
-
-    With ``steps_per_execution`` K > 1 the returned function runs K optimizer
-    steps per call via ``lax.scan``: it takes a batch pytree whose leaves have
-    a leading K axis and a (K, ...) stack of PRNG keys, and returns metrics
-    with a leading K axis.  The math is identical to K separate calls up to
-    float32 roundoff (XLA fuses the scanned body differently; tested) — the
-    point is ONE dispatch per K steps, which amortizes per-call dispatch
-    latency (several ms through a tunneled device runtime; the reference has
-    no analog because torch dispatch is per-op anyway).
-    """
+def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
+                    ray_format: str, id_to_cam):
+    """The single-SGD-step function shared by every train-step variant:
+    render -> loss -> grad -> masked optax update -> metrics."""
     loss_fn_named = loss_dict[loss_name]
     typ = "fine" if cfg.N_importance > 0 else "coarse"
     idmap = None if id_to_cam is None else jnp.asarray(id_to_cam, jnp.int32)
@@ -161,6 +150,26 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
             metrics[f"train/{k}"] = v
         return new_params, new_opt_state, metrics
 
+    return step
+
+
+def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
+                    loss_name: str = "nerfw", ray_format: str = "world",
+                    id_to_cam: Optional[np.ndarray] = None,
+                    donate: bool = True, steps_per_execution: int = 1):
+    """Build the single jitted SPMD train step.
+
+    With ``steps_per_execution`` K > 1 the returned function runs K optimizer
+    steps per call via ``lax.scan``: it takes a batch pytree whose leaves have
+    a leading K axis and a (K, ...) stack of PRNG keys, and returns metrics
+    with a leading K axis.  The math is identical to K separate calls up to
+    float32 roundoff (XLA fuses the scanned body differently; tested) — the
+    point is ONE dispatch per K steps, which amortizes per-call dispatch
+    latency (several ms through a tunneled device runtime; the reference has
+    no analog because torch dispatch is per-op anyway).
+    """
+    step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
+                           id_to_cam)
     donate_args = (0, 1) if donate else ()
     if steps_per_execution <= 1:
         return jax.jit(step, donate_argnums=donate_args)
@@ -203,6 +212,93 @@ def fold_in_range(base, start, k: int):
     in ONE dispatch instead of k."""
     return jax.vmap(lambda j: jax.random.fold_in(base, j))(
         start + jnp.arange(k, dtype=jnp.uint32))
+
+
+# ----------------------------------------------------------------------
+# device-resident ray pool (zero host work per step)
+# ----------------------------------------------------------------------
+#
+# At blender scale the entire pre-baked ray buffer fits in HBM (400^2 x 100
+# views ~ 0.6 GB), so the TPU-native data path is: upload the pool ONCE,
+# then draw every batch ON DEVICE — a per-epoch permutation plus a
+# dynamic-slice gather inside the scanned train step.  Steady-state host
+# traffic per dispatch is a few scalars (i0, lr, epoch), vs K stacked
+# batches (K x B x 52 bytes) for the host-fed path; through the tunneled
+# runtime that per-transfer latency was the last ~0.4 ms/step of wall
+# overhead on top of device time.  The reference has no analog (its
+# DataLoader re-gathers on the host every step, train.py:144-149).
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=())
+def device_epoch_perm(key, n_pool: int, n_padded: int):
+    """Per-epoch device-side shuffle: a permutation of [0, n_pool) padded by
+    wrap-around to ``n_padded`` entries so whole K-step groups can slice it
+    without a tail branch (padded steps are masked out by ``n_steps``)."""
+    perm = jax.random.permutation(key, jnp.arange(n_pool, dtype=jnp.int32))
+    if n_padded <= n_pool:
+        return perm[:n_padded]
+    return jnp.concatenate([perm, perm[:n_padded - n_pool]])
+
+
+def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
+                          batch_size: int, loss_name: str = "nerfw",
+                          ray_format: str = "world",
+                          id_to_cam: Optional[np.ndarray] = None,
+                          donate: bool = True, steps_per_execution: int = 1,
+                          data_sharding=None):
+    """Train-step variant that draws batches from a device-resident pool.
+
+    Signature of the returned function:
+        fn(params, opt_state, pool, perm, i0, rng0, n_steps, lr, epoch,
+           base_rng)
+          pool:   {'rays','ts','rgbs'} device arrays over the FULL dataset
+          perm:   (>= (i0+K)*B,) int32 epoch permutation (device_epoch_perm)
+          i0:     int32 scalar — EPOCH-LOCAL step index of the group's first
+                  sub-step (indexes perm and the n_steps validity bound)
+          rng0:   uint32 scalar — GLOBAL step index of the same sub-step
+                  (selects the RNG stream, cumulative across epochs)
+          n_steps: int32 scalar — real steps this epoch; sub-steps with
+                  epoch-local index >= n_steps leave params/opt_state
+                  untouched
+    RNG per sub-step is fold_in(base_rng, global_step): the same stream the
+    host-fed path uses, so the two paths are step-for-step comparable.
+    ``data_sharding`` (a NamedSharding over the 'data' axis) constrains the
+    gathered batch so SPMD partitioning matches the host-fed shard_batch
+    layout on multi-chip meshes.
+    """
+    step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
+                           id_to_cam)
+    K = max(1, steps_per_execution)
+    B = batch_size
+
+    def gather(pool, idx):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in pool.items()}
+        if data_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, data_sharding),
+                batch)
+        return batch
+
+    def run(params, opt_state, pool, perm, i0, rng0, n_steps, lr, epoch,
+            base_rng):
+        def body(carry, k):
+            p, o = carry
+            step_local = i0 + k
+            idx = jax.lax.dynamic_slice(perm, (step_local * B,), (B,))
+            batch = gather(pool, idx)
+            rng = jax.random.fold_in(base_rng,
+                                     rng0 + k.astype(jnp.uint32))
+            p2, o2, m = step(p, o, batch, lr, epoch, rng)
+            ok = step_local < n_steps
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            return (keep(p2, p), keep(o2, o)), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(K, dtype=jnp.int32))
+        return params, opt_state, ms
+
+    # donate ONLY the carried training state — never the pool or perm
+    return jax.jit(run, donate_argnums=(0, 1) if donate else ())
 
 
 @functools.lru_cache(maxsize=32)
@@ -507,10 +603,46 @@ class NeRFSystem:
             self.mesh, self.params,
             model_parallel=getattr(h, "model_parallel", 1) > 1)
         self.spe = max(1, getattr(h, "steps_per_execution", 1))
-        self.train_step = make_train_step(
-            self.cfg, self.tx, self.mask, loss_name=self.loss_name,
-            ray_format=self.ray_format, id_to_cam=self.id_to_cam,
-            steps_per_execution=self.spe)
+
+        # device-resident pool: zero host work per step when the whole ray
+        # buffer fits in HBM (see make_device_pool_step).  'auto' enables it
+        # single-process under a 2 GiB pool budget; multihost keeps the
+        # host-sharded feed (each process owns a slice of every batch).
+        self.device_pool = None
+        dp_mode = getattr(h, "device_pool", "auto")
+        pool_bytes = (self.batcher.rays.nbytes + self.batcher.ts.nbytes
+                      + self.batcher.rgbs.nbytes)
+        use_pool = dp_mode == "on" or (
+            dp_mode == "auto" and pool_bytes <= (2 << 30))
+        if use_pool and jax.process_count() > 1:
+            if dp_mode == "on":
+                print("[data] --device_pool on ignored: multihost feeds "
+                      "host-sharded batches")
+            use_pool = False
+        if use_pool:
+            from ..parallel import batch_sharding, replicated
+            rep = replicated(self.mesh)
+            pool = {"rays": np.asarray(self.batcher.rays, np.float32),
+                    "ts": np.asarray(self.batcher.ts, np.int32),
+                    "rgbs": np.asarray(self.batcher.rgbs, np.float32)}
+            pool = {k: jax.device_put(v, rep) for k, v in pool.items()}
+            self.device_pool = (pool, self.batcher.n)
+            data_sh = None
+            if np.prod(list(self.mesh.shape.values())) > 1:
+                data_sh = batch_sharding(self.mesh)
+            self.train_step = make_device_pool_step(
+                self.cfg, self.tx, self.mask, batch_size=h.batch_size,
+                loss_name=self.loss_name, ray_format=self.ray_format,
+                id_to_cam=self.id_to_cam, steps_per_execution=self.spe,
+                data_sharding=data_sh)
+            print(f"[data] device-resident ray pool: "
+                  f"{pool_bytes / 1e6:.0f} MB uploaded once; batches are "
+                  f"drawn on device")
+        else:
+            self.train_step = make_train_step(
+                self.cfg, self.tx, self.mask, loss_name=self.loss_name,
+                ray_format=self.ray_format, id_to_cam=self.id_to_cam,
+                steps_per_execution=self.spe)
 
     def restore(self, path: str):
         ckpt = checkpoints.load_checkpoint(path)
@@ -605,15 +737,62 @@ class NeRFSystem:
         # 100-120 of the run), so resumed runs trace a full window too
         profile_start = self.global_step + 100
         profile_stop = self.global_step + 120
+        prof_dir = getattr(h, "profile_dir", None)
+        self._prof_tracing = False
+        self._prof_done = False
+        shuffle_rng = jax.random.PRNGKey(getattr(h, "seed", 0) + 777)
+
+        def prof_before():
+            if (prof_dir and not self._prof_tracing and not self._prof_done
+                    and self.global_step >= profile_start):
+                try:
+                    jax.profiler.start_trace(prof_dir)
+                    self._prof_tracing = True
+                except Exception as e:  # never let tracing kill training
+                    print(f"[profiler] start_trace failed: {e}")
+                    self._prof_done = True
+
+        def prof_after():
+            if self._prof_tracing and self.global_step >= profile_stop:
+                try:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), self.params)
+                    jax.profiler.stop_trace()
+                    print(f"[profiler] trace written to {prof_dir}")
+                except Exception as e:
+                    print(f"[profiler] stop_trace failed: {e}")
+                self._prof_tracing = False
+                self._prof_done = True
 
         for epoch in range(self.start_epoch, h.num_epochs):
             lr = lr_for_epoch(h, epoch)
             lr_j = jnp.float32(lr)
             ep_j = jnp.float32(epoch)
             t0, n_rays = time.time(), 0
-            profile_dir = getattr(h, "profile_dir", None)
             spe = self.spe
-            if spe > 1:
+            if self.device_pool is not None:
+                # device-resident pool: one per-epoch on-device shuffle, then
+                # each dispatch carries only scalars (make_device_pool_step)
+                pool, n_pool = self.device_pool
+                n_steps = self.batcher.steps_per_epoch()
+                n_groups = max(1, -(-n_steps // spe))
+                perm = device_epoch_perm(
+                    jax.random.fold_in(shuffle_rng, epoch), n_pool,
+                    n_groups * spe * h.batch_size)
+                n_steps_j = jnp.int32(n_steps)
+                feed = None
+
+                def stepper():
+                    for g0 in range(0, n_steps, spe):
+                        prof_before()
+                        self.params, self.opt_state, metrics = \
+                            self.train_step(
+                                self.params, self.opt_state, pool, perm,
+                                jnp.int32(g0), jnp.uint32(self.global_step),
+                                n_steps_j, lr_j, ep_j, base_rng)
+                        prof_after()
+                        yield metrics, min(spe, n_steps - g0)
+            elif spe > 1:
                 # group K host batches -> one stacked transfer + ONE dispatch
                 # running K optimizer steps under lax.scan (same math up to
                 # float32 roundoff; amortizes per-call dispatch latency)
@@ -636,41 +815,31 @@ class NeRFSystem:
                     return stacked, rngs, jnp.asarray(valid), n_real
 
                 feed = DevicePrefetcher(grouped(), put)
+
+                def stepper():
+                    for stacked, rngs, valid, n_real in feed:
+                        prof_before()
+                        self.params, self.opt_state, metrics = \
+                            self.train_step(self.params, self.opt_state,
+                                            stacked, lr_j, ep_j, rngs, valid)
+                        prof_after()
+                        yield metrics, n_real
             else:
                 feed = DevicePrefetcher(self.batcher.epoch(epoch),
                                         self._place_batch)
-            tracing = False
-            try:
-                for batch in feed:
-                    if profile_dir and not tracing \
-                            and self.global_step >= profile_start:
-                        try:
-                            jax.profiler.start_trace(profile_dir)
-                            tracing = True
-                        except Exception as e:  # never let tracing kill training
-                            print(f"[profiler] start_trace failed: {e}")
-                            profile_dir = None
-                    if spe > 1:
-                        stacked, rngs, valid, n_real = batch
-                        self.params, self.opt_state, metrics = self.train_step(
-                            self.params, self.opt_state, stacked, lr_j, ep_j,
-                            rngs, valid)
-                    else:
-                        n_real = 1
+
+                def stepper():
+                    for batch in feed:
+                        prof_before()
                         rng = jax.random.fold_in(base_rng, self.global_step)
-                        self.params, self.opt_state, metrics = self.train_step(
-                            self.params, self.opt_state, batch, lr_j, ep_j, rng)
-                    if profile_dir and tracing \
-                            and self.global_step >= profile_stop:
-                        try:
-                            jax.tree_util.tree_map(
-                                lambda x: x.block_until_ready(), self.params)
-                            jax.profiler.stop_trace()
-                            print(f"[profiler] trace written to {profile_dir}")
-                        except Exception as e:
-                            print(f"[profiler] stop_trace failed: {e}")
-                        profile_dir = None
-                        tracing = False
+                        self.params, self.opt_state, metrics = \
+                            self.train_step(self.params, self.opt_state,
+                                            batch, lr_j, ep_j, rng)
+                        prof_after()
+                        yield metrics, 1
+
+            try:
+                for metrics, n_real in stepper():
                     n_rays += h.batch_size * n_real
                     log_every = getattr(h, "log_every", 50)
                     # with K steps per dispatch, log when the executed step window
@@ -711,7 +880,8 @@ class NeRFSystem:
                               flush=True)
                     self.global_step += n_real
             finally:
-                feed.close()
+                if feed is not None:
+                    feed.close()
 
             val_loss, val_psnr, viz = self.run_validation(epoch + 1)
             self.logger.scalars(

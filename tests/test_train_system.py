@@ -152,6 +152,97 @@ def test_steps_per_execution_matches_sequential():
                                    atol=1e-5, rtol=1e-3)
 
 
+def test_device_pool_step_matches_host_fed():
+    """The device-resident-pool scanned step must reproduce host-fed
+    sequential steps when handed the same ray order and RNG stream,
+    including masking of the padded epoch-tail sub-step."""
+    from nerf_fl_tpu.training.system import (device_epoch_perm,
+                                             make_device_pool_step)
+
+    B, K, n_steps = 64, 4, 3  # 3 real sub-steps, 1 masked
+    params, mask, tx, opt_state = build()
+    pool_b = make_batch(n=B * n_steps, seed=3)
+    pool = {k: jnp.asarray(v) for k, v in pool_b.items()}
+
+    lr, ep = jnp.float32(5e-4), jnp.float32(0)
+    base = jax.random.PRNGKey(7)
+
+    # host-fed ground truth: batches are consecutive B-row slices
+    step1 = make_train_step(CFG, tx, mask, donate=False)
+    p1, o1 = params, opt_state
+    ms = []
+    for j in range(n_steps):
+        b = {k: v[j * B:(j + 1) * B] for k, v in pool.items()}
+        p1, o1, m = step1(p1, o1, b, lr, ep, jax.random.fold_in(base, 10 + j))
+        ms.append(m)
+
+    # device pool with an identity permutation (padded by wraparound)
+    stepP = make_device_pool_step(CFG, tx, mask, batch_size=B, donate=False,
+                                  steps_per_execution=K)
+    perm = jnp.arange(K * B, dtype=jnp.int32) % (n_steps * B)
+    pP, oP, mP = stepP(params, opt_state, pool, perm, jnp.int32(0),
+                       jnp.uint32(10), jnp.int32(n_steps), lr, ep, base)
+
+    for j, m in enumerate(ms):
+        assert float(mP["train/loss"][j]) == pytest.approx(
+            float(m["train/loss"]), rel=1e-5), j
+    for sub in ("nerf_coarse", "nerf_fine"):
+        np.testing.assert_allclose(
+            np.asarray(p1[sub]["xyz"][0]["w"]),
+            np.asarray(pP[sub]["xyz"][0]["w"]), atol=1e-4, err_msg=sub)
+    for a, b in zip(jax.tree_util.tree_leaves(o1),
+                    jax.tree_util.tree_leaves(oP)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+    # the epoch shuffle covers every pool row exactly once (+ wrap padding)
+    pm = device_epoch_perm(jax.random.PRNGKey(0), n_steps * B, K * B)
+    assert pm.shape == (K * B,)
+    assert sorted(np.asarray(pm)[:n_steps * B].tolist()) == \
+        list(range(n_steps * B))
+
+
+def test_device_pool_dp_sharded():
+    """Device-pool step over an 8-chip data mesh: pool replicated, gathered
+    batch constrained to the 'data' axis; result matches single-device."""
+    from nerf_fl_tpu.parallel import batch_sharding, replicated
+    from nerf_fl_tpu.training.system import make_device_pool_step
+
+    B = 128
+    params, mask, tx, opt_state = build()
+    pool_b = make_batch(n=B * 2, seed=4)
+    lr, ep = jnp.float32(5e-4), jnp.float32(0)
+    base = jax.random.PRNGKey(3)
+    perm = jnp.arange(2 * B, dtype=jnp.int32)
+
+    stepP = make_device_pool_step(CFG, tx, mask, batch_size=B, donate=False,
+                                  steps_per_execution=2)
+    p1, o1, m1 = stepP(params, opt_state,
+                       {k: jnp.asarray(v) for k, v in pool_b.items()},
+                       perm, jnp.int32(0), jnp.uint32(0), jnp.int32(2),
+                       lr, ep, base)
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    pool8 = {k: jax.device_put(np.asarray(v), rep)
+             for k, v in pool_b.items()}
+    params8 = place_params(mesh, params)
+    opt8 = tx.init(params8)
+    step8 = make_device_pool_step(CFG, tx, mask, batch_size=B, donate=False,
+                                  steps_per_execution=2,
+                                  data_sharding=batch_sharding(mesh))
+    p8, o8, m8 = step8(params8, opt8, pool8,
+                       jax.device_put(perm, rep), jnp.int32(0),
+                       jnp.uint32(0), jnp.int32(2), lr, ep, base)
+
+    np.testing.assert_allclose(np.asarray(m1["train/loss"]),
+                               np.asarray(m8["train/loss"]), rtol=1e-5)
+    for sub in ("nerf_coarse", "nerf_fine"):
+        np.testing.assert_allclose(
+            np.asarray(p1[sub]["xyz"][0]["w"]),
+            np.asarray(p8[sub]["xyz"][0]["w"]), atol=1e-4, err_msg=sub)
+
+
 def test_multidevice_dp_matches_single_device():
     assert len(jax.devices()) == 8
     params, mask, tx, opt_state = build()
