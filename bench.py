@@ -314,10 +314,16 @@ def main():
         dt = time.perf_counter() - t0
         return params, opt_state, n * batch_size / dt
 
-    def publish(rates, spe, note=None):
+    def publish(rates, spe, note=None, data_path="host_fed"):
         med = sorted(rates)[len(rates) // 2] if len(rates) % 2 else \
             sorted(rates)[len(rates) // 2 - 1]  # lower median: conservative
+        stage = (data_path, spe)
+        if (_BEST["result"] is not None and _BEST.get("stage") != stage
+                and med <= _BEST["result"]["value"]):
+            return med  # a LATER stage only takes over if it's faster...
         _BEST["result"] = _finalize(med, spe, rates, note)
+        _BEST["result"]["data_path"] = data_path
+        _BEST["stage"] = stage  # ...but within a stage, windows accumulate
         return med
 
     # ---- stage 1: plain K=1 program first — a result must exist EARLY ----
@@ -355,6 +361,63 @@ def main():
             _progress(f"stage 2 failed ({e}); keeping K=1 result")
     else:
         _progress("skipping K>1 stage (budget or BENCH_SPE=1)")
+
+    # ---- stage 3: device-resident pool (the production blender data path:
+    # the whole ray pool lives in HBM, batches are gathered on device inside
+    # the scanned step; per-dispatch host traffic is a few scalars) --------
+    spe_pool = max(1, int(os.environ.get("BENCH_POOL_SPE", 32)))
+    if os.environ.get("BENCH_DEVICE_POOL", "1") != "0" and time_left() > 60:
+        try:
+            from nerf_fl_tpu.training.system import (device_epoch_perm,
+                                                     make_device_pool_step)
+            _progress(f"stage 3: device-pool K={spe_pool} compile+warmup "
+                      f"({time_left():.0f}s left)")
+            pool = {"rays": jnp.asarray(pool_rays),
+                    "ts": jnp.asarray(pool_ts),
+                    "rgbs": jnp.asarray(pool_rgb)}
+            stepP = make_device_pool_step(
+                cfg, tx, mask, batch_size=batch_size, donate=True,
+                steps_per_execution=spe_pool)
+            steps_w = max(spe_pool,
+                          measure_steps - measure_steps % spe_pool)
+            n_steps_j = jnp.int32(10 ** 9)  # every sub-step is real
+            perm = device_epoch_perm(jax.random.PRNGKey(2), n_pool,
+                                     ((steps_w * batch_size - 1) // n_pool
+                                      + 1) * n_pool)
+            paramsP = build_params(jax.random.PRNGKey(0), cfg, 1500)
+            opt_stateP = tx.init(paramsP)
+
+            def pool_window(paramsP, opt_stateP, w):
+                t0 = time.perf_counter()
+                for g in range(0, steps_w, spe_pool):
+                    paramsP, opt_stateP, m = stepP(
+                        paramsP, opt_stateP, pool, perm, jnp.int32(g),
+                        jnp.uint32(w * steps_w + g), n_steps_j, lr, ep, key)
+                float(np.asarray(m["train/loss"]).reshape(-1)[-1])
+                return paramsP, opt_stateP, \
+                    steps_w * batch_size / (time.perf_counter() - t0)
+
+            # warmup: compile + one short window
+            paramsP, opt_stateP, m = stepP(
+                paramsP, opt_stateP, pool, perm, jnp.int32(0),
+                jnp.uint32(0), n_steps_j, lr, ep, key)
+            float(np.asarray(m["train/loss"]).reshape(-1)[-1])
+            rates = []
+            est = steps_w * batch_size / max(r, 1.0) + 2.0
+            for w in range(3):
+                if rates and time_left() < est + 10:
+                    break
+                paramsP, opt_stateP, rp = pool_window(paramsP, opt_stateP, w)
+                rates.append(rp)
+                est = steps_w * batch_size / max(rp, 1.0) + 2.0
+                _progress(f"stage 3: pool window {w}: {rp:,.0f} rays/s "
+                          f"({time_left():.0f}s left)")
+                publish(rates, spe_pool,
+                        None if len(rates) >= 3 else
+                        f"{len(rates)}/3 windows (budget)",
+                        data_path="device_pool")
+        except Exception as e:
+            _progress(f"stage 3 failed ({e}); keeping earlier result")
 
     # ---- comparator + emit -------------------------------------------------
     if not os.path.exists(REF_CPU_CACHE) and time_left() > 120:
