@@ -74,6 +74,8 @@ def build_eval_state(args):
 
 
 def main(args):
+    from nerf_fl_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import imageio
     import jax
     from nerf_fl_tpu.data import dataset_dict

@@ -1,0 +1,56 @@
+#!/bin/bash
+# Quality-proxy matrix (VERDICT r2 item 7): the four README recipes
+# (reference README.md:141-173) at reduced scale on the 40-view synthetic
+# ball fixture, PLUS the plain-NeRF control on each perturbed variant, so
+# the reference table's characteristic ORDERINGS can be checked:
+#   NeRF-A > NeRF on color-perturbed data
+#   NeRF-U >> NeRF on occluded data
+#   NeRF-W > NeRF on color+occ data
+#   clean NeRF > perturbed-data NeRFs
+# Recipe per run: N_importance 64, 200^2, noise_std 0, adam 5e-4 cosine,
+# b1024, 10 epochs (=15.6k steps), bf16 fast path (quality-neutral per
+# docs/QUALITY.md).  Eval: clean test split at 200^2 (the perturbations
+# only ever touch train images; image id 0 is never perturbed and blender
+# test rays carry ts=0, so NeRF-A/W models render with the clean
+# appearance code — mirroring the reference eval.py convention).
+set -x
+cd /root/repo
+SCENE=/tmp/qm_scene
+CK=/tmp/qm_ckpts
+python - <<'EOF'
+import sys
+sys.path.insert(0, 'tests')
+from fixtures import make_blender_scene
+make_blender_scene('/tmp/qm_scene', n_train=40, n_val=4, n_test=8, size=200)
+print('fixture ok')
+EOF
+
+COMMON="--dataset_name blender --root_dir $SCENE --img_wh 200 200 \
+  --N_importance 64 --noise_std 0 --num_epochs 10 --batch_size 1024 \
+  --optimizer adam --lr 5e-4 --lr_scheduler cosine --compute_dtype bfloat16 \
+  --steps_per_execution 8 --save_path $CK --refresh_every 0"
+EVCOMMON="--dataset_name blender --root_dir $SCENE --split test \
+  --img_wh 200 200 --N_importance 64 --compute_dtype bfloat16"
+
+run () {  # name, extra train flags, extra eval flags
+  name=$1; tflags=$2; eflags=$3
+  python train.py $COMMON --exp_name qm_$name $tflags \
+    > experiments/r3/qm_${name}_train.log 2>&1
+  python eval.py $EVCOMMON --ckpt_path $CK/qm_$name/epoch=9.ckpt \
+    --scene_name qm_$name $eflags \
+    > experiments/r3/qm_${name}_eval.log 2>&1
+  tail -1 experiments/r3/qm_${name}_eval.log
+}
+
+run clean       ""                                               ""
+run color_nerf  "--data_perturb color"                           ""
+run color_nerfa "--data_perturb color --encode_a"                "--encode_a"
+run occ_nerf    "--data_perturb occ"                             ""
+run occ_nerfu   "--data_perturb occ --encode_t --beta_min 0.1"   "--encode_t --beta_min 0.1"
+run co_nerf     "--data_perturb color occ"                       ""
+run co_nerfw    "--data_perturb color occ --encode_a --encode_t --beta_min 0.1" "--encode_a --encode_t --beta_min 0.1"
+
+echo "=== SUMMARY ==="
+for n in clean color_nerf color_nerfa occ_nerf occ_nerfu co_nerf co_nerfw; do
+  echo -n "$n: "; grep "Mean PSNR" experiments/r3/qm_${n}_eval.log || echo "MISSING"
+done

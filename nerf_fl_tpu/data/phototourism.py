@@ -96,16 +96,20 @@ class PhototourismDataset:
             camdata = read_cameras_binary(
                 os.path.join(self.root_dir, "dense/sparse/cameras.bin"))
             for id_ in self.img_ids:
-                K = np.zeros((3, 3), dtype=np.float32)
                 cam_id = self.image_to_cam[id_]
                 cam = camdata[cam_id]
+                # COLMAP PINHOLE params = (fx, fy, cx, cy) with the
+                # principal point at the image center, so cx*2 / cy*2
+                # recover the full-resolution dimensions; each intrinsic
+                # then scales by its axis's (downscaled dim / full dim)
+                # ratio — kept in this exact arithmetic order so cached
+                # K matrices stay bit-identical to the reference cache
                 img_w, img_h = int(cam.params[2] * 2), int(cam.params[3] * 2)
                 img_w_ = img_w // self.img_downscale
                 img_h_ = img_h // self.img_downscale
-                K[0, 0] = cam.params[0] * img_w_ / img_w  # fx
-                K[1, 1] = cam.params[1] * img_h_ / img_h  # fy
-                K[0, 2] = cam.params[2] * img_w_ / img_w  # cx
-                K[1, 2] = cam.params[3] * img_h_ / img_h  # cy
+                K = np.zeros((3, 3), dtype=np.float32)
+                K[0, [0, 2]] = cam.params[[0, 2]] * img_w_ / img_w
+                K[1, [1, 2]] = cam.params[[1, 3]] * img_h_ / img_h
                 K[2, 2] = 1
                 self.Ks[cam_id] = K
 
@@ -113,17 +117,17 @@ class PhototourismDataset:
         if self.use_cache:
             self.poses = np.load(self._cache("poses.npy"))
         else:
-            w2c_mats = []
-            bottom = np.array([0, 0, 0, 1.0]).reshape(1, 4)
-            for id_ in self.img_ids:
-                im = imdata[id_]
-                R = im.qvec2rotmat()
-                t = im.tvec.reshape(3, 1)
-                w2c_mats.append(
-                    np.concatenate([np.concatenate([R, t], 1), bottom], 0))
-            w2c_mats = np.stack(w2c_mats, 0)
+            # COLMAP stores world->camera extrinsics (R|t); stack them as
+            # homogeneous 4x4s, invert in one batched solve, keep the 3x4
+            # top.  COLMAP's camera frame is right/down/front; NeRF wants
+            # right/up/back, i.e. the y and z columns negate.
+            w2c_mats = np.stack(
+                [np.block([[imdata[i].qvec2rotmat(),
+                            imdata[i].tvec.reshape(3, 1)],
+                           [np.zeros((1, 3)), np.ones((1, 1))]])
+                 for i in self.img_ids])
             self.poses = np.linalg.inv(w2c_mats)[:, :3]
-            self.poses[..., 1:3] *= -1  # "right down front" -> "right up back"
+            self.poses[..., 1:3] *= -1
 
         # per-image near/far from 0.1/99.9 percentiles of visible 3D points,
         # then one global rescale pinning the largest far plane to 5

@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache for every CLI.
+
+On the tunneled TPU runtime used in this environment, each program shape
+remote-compiles in 30-400 s; JAX's persistent compilation cache honors that
+path (measured 412.8 s -> 8.5 s for an identical program), so enabling it
+by default turns the second-and-later runs of any train/eval/bench config
+into second-scale startups.  Harmless elsewhere (local compiles just get
+cached too).
+
+Opt out with NERF_FL_TPU_NO_COMPILE_CACHE=1; override the location with
+NERF_FL_TPU_COMPILE_CACHE=<dir>.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point jax at a persistent compilation cache directory.
+
+    Must be called BEFORE the first compilation (any jit execution).
+    Returns the cache dir, or None if disabled/unavailable.
+    """
+    if os.environ.get("NERF_FL_TPU_NO_COMPILE_CACHE"):
+        return None
+    path = (path or os.environ.get("NERF_FL_TPU_COMPILE_CACHE")
+            or os.path.expanduser("~/.cache/nerf_fl_tpu/xla"))
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything: remote compiles are expensive at ANY size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return path
+    except Exception as e:  # never let caching break a run
+        print(f"[compile-cache] unavailable: {e}")
+        return None

@@ -21,6 +21,49 @@ import pytest  # noqa: E402
 
 from tests.fixtures import make_blender_scene  # noqa: E402
 
+# ----------------------------------------------------------------------
+# test tiers: `pytest -m "not slow"` is the <5-minute smoke tier; the
+# full suite (~20-30 min: e2e CLI runs, 2-process multihost jobs, bitwise
+# reproducibility double-runs) stays the default.  Slow tests are marked
+# centrally here so the tier lives in one place.
+# ----------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_end_to_end",       # full train/eval CLI round trips
+    "test_multihost",        # spawns 2-process jax.distributed jobs
+    "test_reproducibility",  # trains twice per test for bitwise checks
+    "test_graft_entry",      # subprocess dryruns with fresh JAX startups
+}
+
+SLOW_TESTS = {
+    # >=10 s each on an idle machine (pytest --durations), mostly compiles
+    "test_loss_decreases",
+    "test_steps_per_execution_matches_sequential",
+    "test_device_pool_step_matches_host_fed",
+    "test_device_pool_dp_sharded",
+    "test_multidevice_dp_matches_single_device",
+    "test_model_parallel_matches_single_device",
+    "test_adam_training_trajectories_match",
+    "test_refine_pose_updates_poses",
+    "test_frozen_poses_stay_frozen_and_used",
+    "test_render_chunked_a_override_matches_direct",
+    "test_fused_grads_match_xla",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running e2e/multihost/parity tests "
+        "(deselect with -m 'not slow' for a <5-min smoke)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[", 1)[0]
+        if mod in SLOW_MODULES or base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def blender_scene(tmp_path_factory):
