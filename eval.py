@@ -81,7 +81,7 @@ def main(args):
     from nerf_fl_tpu.data import dataset_dict
     from nerf_fl_tpu.training import checkpoints
     from nerf_fl_tpu.training.metrics import psnr as psnr_fn
-    from nerf_fl_tpu.training.system import render_chunked
+    from nerf_fl_tpu.training.system import render_chunked_async
 
     kwargs = {'root_dir': args.root_dir, 'split': args.split}
     if args.dataset_name == 'blender':
@@ -190,6 +190,42 @@ def main(args):
     writes = []
     frames = DevicePrefetcher(iter(range(len(dataset))),
                               lambda i: dataset[i], depth=2)
+
+    def process(item):
+        """Frame epilogue: drain the deferred render, then all host work
+        (clip/uint8, PNG submit, PSNR/SSIM).  Called AFTER the next frame's
+        chunks are dispatched, so this overlaps the device render."""
+        i, sample, w, h, finish, right_mask = item
+        results = finish()
+        img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
+        img_pred_ = (img_pred * 255).astype(np.uint8)
+        imgs.append(img_pred_)
+        writes.append(writer.submit(
+            imageio.imwrite, os.path.join(dir_name, f'{i:03d}.png'),
+            img_pred_))
+        if args.save_depth:
+            from nerf_fl_tpu.data.pfm import save_pfm
+            writes.append(writer.submit(
+                save_pfm, os.path.join(dir_name, f'depth_{i:03d}.pfm'),
+                results[f'depth_{typ}'].reshape(h, w).astype(np.float32)))
+
+        if 'rgbs' in sample:
+            img_gt = sample['rgbs'].reshape(h, w, 3)
+            if right_mask is not None:
+                # paper protocol: the fitted embedding never saw these pixels
+                m = right_mask.reshape(h, w)
+                psnrs.append(float(psnr_fn(img_gt[m], img_pred[m])))
+            else:
+                psnrs.append(float(psnr_fn(img_gt, img_pred)))
+            if args.compute_ssim:
+                from nerf_fl_tpu.training.metrics import ssim as ssim_fn
+                ssims.append(float(ssim_fn(
+                    img_pred.transpose(2, 0, 1)[None],
+                    np.ascontiguousarray(
+                        img_gt.transpose(2, 0, 1))[None])))
+        print(f'frame {i + 1}/{len(dataset)}', flush=True)
+
+    prev = None
     for i, sample in enumerate(frames):
         if args.dataset_name == 'blender':
             w, h = args.img_wh
@@ -221,37 +257,15 @@ def main(args):
                   f'{float(fit_losses[0]):.4f} -> '
                   f'{float(fit_losses[-1]):.4f}', flush=True)
 
-        results = render_chunked(
+        finish = render_chunked_async(
             params, sample['rays'], sample['ts'], cfg, chunk=chunk,
             test_time=True, keys=wanted, mesh=mesh, a_override=a_override,
             **render_kwargs)
-
-        img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
-        img_pred_ = (img_pred * 255).astype(np.uint8)
-        imgs.append(img_pred_)
-        writes.append(writer.submit(
-            imageio.imwrite, os.path.join(dir_name, f'{i:03d}.png'),
-            img_pred_))
-        if args.save_depth:
-            from nerf_fl_tpu.data.pfm import save_pfm
-            writes.append(writer.submit(
-                save_pfm, os.path.join(dir_name, f'depth_{i:03d}.pfm'),
-                results[f'depth_{typ}'].reshape(h, w).astype(np.float32)))
-
-        if 'rgbs' in sample:
-            img_gt = sample['rgbs'].reshape(h, w, 3)
-            if right_mask is not None:
-                # paper protocol: the fitted embedding never saw these pixels
-                m = right_mask.reshape(h, w)
-                psnrs.append(float(psnr_fn(img_gt[m], img_pred[m])))
-            else:
-                psnrs.append(float(psnr_fn(img_gt, img_pred)))
-            if args.compute_ssim:
-                from nerf_fl_tpu.training.metrics import ssim as ssim_fn
-                ssims.append(float(ssim_fn(
-                    img_pred.transpose(2, 0, 1)[None],
-                    np.ascontiguousarray(img_gt.transpose(2, 0, 1))[None])))
-        print(f'frame {i + 1}/{len(dataset)}', flush=True)
+        if prev is not None:
+            process(prev)
+        prev = (i, sample, w, h, finish, right_mask)
+    if prev is not None:
+        process(prev)
 
     for f in writes:
         f.result()  # surface writer-thread errors

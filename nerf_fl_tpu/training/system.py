@@ -351,6 +351,28 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
     mesh — data-parallel evaluation the reference has no analog of (its
     eval.py is single-GPU).
     """
+    return render_chunked_async(
+        params, rays, ts, cfg, chunk=chunk, test_time=test_time,
+        output_transient=output_transient, epoch=epoch, rng=rng, keys=keys,
+        inflight=inflight, mesh=mesh, a_override=a_override)()
+
+
+def render_chunked_async(params, rays: np.ndarray, ts: np.ndarray,
+                         cfg: RenderConfig, *, chunk: int = 32 * 1024,
+                         test_time: bool = True,
+                         output_transient: bool = True,
+                         epoch: float = 0.0, rng=None,
+                         keys=None, inflight: int = 4,
+                         mesh=None, a_override=None):
+    """Dispatch a full render and defer the final readback.
+
+    Returns a ``finish()`` callable producing render_chunked's result dict.
+    Every chunk is dispatched before return (with the same bounded
+    ``inflight`` drain discipline), so a caller can start the NEXT frame's
+    dispatches while this frame's tail results stream back — the eval CLI
+    uses this to overlap per-frame host work (drain, PNG prep, PSNR) with
+    the device render of the following frame.
+    """
     n = len(rays)
     nproc = jax.process_count()
     out_sh = None
@@ -420,9 +442,13 @@ def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
         pending.append((res, len(rays[i:i + chunk])))
         if len(pending) >= max(1, inflight):
             drain_one()
-    while pending:
-        drain_one()
-    return {k: np.concatenate(v, 0) for k, v in outs.items()}
+
+    def finish():
+        while pending:
+            drain_one()
+        return {k: np.concatenate(v, 0) for k, v in outs.items()}
+
+    return finish
 
 
 class DevicePrefetcher:
