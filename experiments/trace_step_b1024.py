@@ -20,7 +20,7 @@ from nerf_fl_tpu.render import RenderConfig  # noqa: E402
 from nerf_fl_tpu.training.system import build_params, make_train_step  # noqa: E402
 from nerf_fl_tpu.training.optimizers import build_optimizer, make_trainable_mask  # noqa: E402
 
-OUT = "experiments/trace_b1024"
+OUT = os.environ.get("TRACE_OUT", "experiments/trace_b1024")
 
 
 def main():

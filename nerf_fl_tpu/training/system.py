@@ -120,31 +120,65 @@ def assemble_world_rays(params, rays, ts, *, ray_format: str,
 # ----------------------------------------------------------------------
 
 def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
-                    ray_format: str, id_to_cam):
+                    ray_format: str, id_to_cam, microbatch: int = 1):
     """The single-SGD-step function shared by every train-step variant:
-    render -> loss -> grad -> masked optax update -> metrics."""
+    render -> loss -> grad -> masked optax update -> metrics.
+
+    ``microbatch`` M > 1 accumulates the gradient over M equal slices of the
+    batch inside the step (lax.scan) and applies ONE optimizer update.  Why:
+    XLA compiles the b1024-shaped render so its activation tiles ride the
+    VMEM prefetch strategy (matmul set ~1050 GB/s effective); at b4096 the
+    same matmuls stream from HBM at ~700 GB/s (experiments/r3/trace_b*).
+    Running 4x b1024-shaped microbatches recovers the fast program.  The
+    accumulated gradient equals the full-batch gradient exactly for
+    mean-based losses; the NerfW beta-NLL's ``log(mean beta)`` term is
+    computed per microbatch (exactly the semantics of the reference's
+    multi-GPU DDP, which averages per-rank shard losses, train.py:235-236).
+    """
     loss_fn_named = loss_dict[loss_name]
     typ = "fine" if cfg.N_importance > 0 else "coarse"
     idmap = None if id_to_cam is None else jnp.asarray(id_to_cam, jnp.int32)
 
-    def step(params, opt_state, batch, lr, epoch, rng):
-        def loss_of(p):
-            rays8 = assemble_world_rays(p, batch["rays"], batch["ts"],
-                                        ray_format=ray_format, id_to_cam=idmap)
-            results = render_rays(p, rays8, batch["ts"], rng, cfg, epoch=epoch)
-            loss_d = loss_fn_named(results, batch["rgbs"])
-            return sum(loss_d.values()), (loss_d, results)
+    def loss_of(p, b, r, epoch):
+        rays8 = assemble_world_rays(p, b["rays"], b["ts"],
+                                    ray_format=ray_format, id_to_cam=idmap)
+        results = render_rays(p, rays8, b["ts"], r, cfg, epoch=epoch)
+        loss_d = loss_fn_named(results, b["rgbs"])
+        mse = jnp.mean((results[f"rgb_{typ}"] - b["rgbs"]) ** 2)
+        return sum(loss_d.values()), (loss_d, mse)
 
-        (loss, (loss_d, results)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(params)
+    def grads_of(params, batch, epoch, rng):
+        if microbatch <= 1:
+            (loss, (loss_d, mse)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params, batch, rng, epoch)
+            return grads, loss, loss_d, mse
+        M = microbatch
+        mb = jax.tree_util.tree_map(
+            lambda x: x.reshape((M, x.shape[0] // M) + x.shape[1:]), batch)
+        rngs = jax.vmap(lambda j: jax.random.fold_in(rng, j))(
+            jnp.arange(M, dtype=jnp.uint32))
+
+        def body(acc, xs):
+            b, r = xs
+            (l, (ld, mse)), g = jax.value_and_grad(
+                loss_of, has_aux=True)(params, b, r, epoch)
+            return jax.tree_util.tree_map(jnp.add, acc, g), (l, ld, mse)
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads, (ls, lds, mses) = jax.lax.scan(body, zero, (mb, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / M, grads)
+        return (grads, jnp.mean(ls),
+                jax.tree_util.tree_map(jnp.mean, lds), jnp.mean(mses))
+
+    def step(params, opt_state, batch, lr, epoch, rng):
+        grads, loss, loss_d, mse = grads_of(params, batch, epoch, rng)
         grads = mask_updates(grads, trainable_mask)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         updates = mask_updates(updates, trainable_mask)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(params, updates)
 
-        rgb = results[f"rgb_{typ}"]
-        psnr = -10.0 * jnp.log10(jnp.mean((rgb - batch["rgbs"]) ** 2))
+        psnr = -10.0 * jnp.log10(mse)
         metrics = {"train/loss": loss, "train/psnr": psnr}
         for k, v in loss_d.items():
             metrics[f"train/{k}"] = v
@@ -156,7 +190,8 @@ def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
 def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
                     loss_name: str = "nerfw", ray_format: str = "world",
                     id_to_cam: Optional[np.ndarray] = None,
-                    donate: bool = True, steps_per_execution: int = 1):
+                    donate: bool = True, steps_per_execution: int = 1,
+                    microbatch: int = 1):
     """Build the single jitted SPMD train step.
 
     With ``steps_per_execution`` K > 1 the returned function runs K optimizer
@@ -169,7 +204,7 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
     no analog because torch dispatch is per-op anyway).
     """
     step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
-                           id_to_cam)
+                           id_to_cam, microbatch)
     donate_args = (0, 1) if donate else ()
     if steps_per_execution <= 1:
         return jax.jit(step, donate_argnums=donate_args)
@@ -244,7 +279,7 @@ def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
                           ray_format: str = "world",
                           id_to_cam: Optional[np.ndarray] = None,
                           donate: bool = True, steps_per_execution: int = 1,
-                          data_sharding=None):
+                          data_sharding=None, microbatch: int = 1):
     """Train-step variant that draws batches from a device-resident pool.
 
     Signature of the returned function:
@@ -266,7 +301,7 @@ def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
     layout on multi-chip meshes.
     """
     step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
-                           id_to_cam)
+                           id_to_cam, microbatch)
     K = max(1, steps_per_execution)
     B = batch_size
 
@@ -629,6 +664,10 @@ class NeRFSystem:
             self.mesh, self.params,
             model_parallel=getattr(h, "model_parallel", 1) > 1)
         self.spe = max(1, getattr(h, "steps_per_execution", 1))
+        mb = max(1, getattr(h, "microbatch", 1))
+        if mb > 1 and h.batch_size % mb:
+            raise ValueError(f"batch_size {h.batch_size} not divisible by "
+                             f"--microbatch {mb}")
 
         # device-resident pool: zero host work per step when the whole ray
         # buffer fits in HBM (see make_device_pool_step).  'auto' enables it
@@ -660,7 +699,7 @@ class NeRFSystem:
                 self.cfg, self.tx, self.mask, batch_size=h.batch_size,
                 loss_name=self.loss_name, ray_format=self.ray_format,
                 id_to_cam=self.id_to_cam, steps_per_execution=self.spe,
-                data_sharding=data_sh)
+                data_sharding=data_sh, microbatch=mb)
             print(f"[data] device-resident ray pool: "
                   f"{pool_bytes / 1e6:.0f} MB uploaded once; batches are "
                   f"drawn on device")
@@ -668,7 +707,7 @@ class NeRFSystem:
             self.train_step = make_train_step(
                 self.cfg, self.tx, self.mask, loss_name=self.loss_name,
                 ray_format=self.ray_format, id_to_cam=self.id_to_cam,
-                steps_per_execution=self.spe)
+                steps_per_execution=self.spe, microbatch=mb)
 
     def restore(self, path: str):
         ckpt = checkpoints.load_checkpoint(path)

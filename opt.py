@@ -85,6 +85,13 @@ def get_parser():
     parser.add_argument('--coordinator_address', type=str,
                         default='localhost:12321',
                         help='host:port of process 0 for jax.distributed')
+    parser.add_argument('--microbatch', type=int, default=1,
+                        help='accumulate the gradient over this many equal '
+                             'batch slices inside the step (one optimizer '
+                             'update).  Large batches regain the b1024 '
+                             'program\'s VMEM-friendly compilation: b4096 '
+                             'matmuls stream at ~700 GB/s monolithic vs '
+                             '~1050 GB/s microbatched (docs/PERF.md)')
     parser.add_argument('--device_pool', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
                         help='keep the whole training ray pool in device '

@@ -152,6 +152,59 @@ def test_steps_per_execution_matches_sequential():
                                    atol=1e-5, rtol=1e-3)
 
 
+def test_microbatch_grad_accumulation_matches_full_batch():
+    """--microbatch M: one optimizer update from M accumulated microbatch
+    gradients must equal the full-batch update when sampling is
+    deterministic (perturb=0: the only semantic difference left is RNG
+    stream shape, which deterministic sampling removes)."""
+    cfg = RenderConfig(N_samples=16, N_importance=8, noise_std=0.0,
+                       perturb=0.0)
+    params, mask, tx, opt_state = build(cfg)
+    step1 = make_train_step(cfg, tx, mask, donate=False)
+    step4 = make_train_step(cfg, tx, mask, donate=False, microbatch=4)
+    batch = make_batch(n=512)
+    lr, ep = jnp.float32(5e-4), jnp.float32(0)
+    rng = jax.random.PRNGKey(5)
+
+    p1, o1, m1 = step1(params, opt_state, batch, lr, ep, rng)
+    p4, o4, m4 = step4(params, opt_state, batch, lr, ep, rng)
+
+    # loss/psnr: mean of equal-slice means == full mean (f32 roundoff)
+    assert float(m4["train/loss"]) == pytest.approx(
+        float(m1["train/loss"]), rel=1e-5)
+    assert float(m4["train/psnr"]) == pytest.approx(
+        float(m1["train/psnr"]), rel=1e-4)
+    for sub in ("nerf_coarse", "nerf_fine"):
+        np.testing.assert_allclose(
+            np.asarray(p1[sub]["xyz"][0]["w"]),
+            np.asarray(p4[sub]["xyz"][0]["w"]), atol=2e-5, err_msg=sub)
+    for a, b in zip(jax.tree_util.tree_leaves(o1),
+                    jax.tree_util.tree_leaves(o4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+
+def test_microbatch_nerfw_transient_runs():
+    """With the transient head the beta-NLL's log(mean beta) is per-
+    microbatch (DDP shard semantics); the step must still run and produce
+    finite metrics close to the full-batch ones."""
+    cfg = RenderConfig(N_samples=16, N_importance=8, noise_std=0.0,
+                       perturb=0.0, encode_a=True, encode_t=True,
+                       beta_min=0.1)
+    params, mask, tx, opt_state = build(cfg)
+    step1 = make_train_step(cfg, tx, mask, donate=False)
+    step2 = make_train_step(cfg, tx, mask, donate=False, microbatch=2)
+    batch = make_batch(n=256)
+    lr, ep = jnp.float32(5e-4), jnp.float32(0)
+    rng = jax.random.PRNGKey(6)
+    _, _, m1 = step1(params, opt_state, batch, lr, ep, rng)
+    _, _, m2 = step2(params, opt_state, batch, lr, ep, rng)
+    assert np.isfinite(float(m2["train/loss"]))
+    # Jensen gap of log(mean beta) across shards is tiny at init
+    assert float(m2["train/loss"]) == pytest.approx(
+        float(m1["train/loss"]), rel=1e-3)
+
+
 def test_device_pool_step_matches_host_fed():
     """The device-resident-pool scanned step must reproduce host-fed
     sequential steps when handed the same ray order and RNG stream,
