@@ -218,6 +218,9 @@ def main():
     # see --steps_per_execution).  Dispatch through the tunneled runtime
     # costs 0.5-5 ms per call depending on session weather; K=8 amortizes it.
     spe_target = max(1, int(os.environ.get("BENCH_SPE", 8)))
+    # gradient-accumulation microbatch (see --microbatch): M b1024-shaped
+    # slices per optimizer step; the honest b4096 fix (docs/PERF.md)
+    microbatch = max(1, int(os.environ.get("BENCH_MICROBATCH", 1)))
 
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
@@ -270,7 +273,8 @@ def main():
 
     def make_runner(spe):
         step = make_train_step(cfg, tx, mask, donate=True,
-                               steps_per_execution=spe)
+                               steps_per_execution=spe,
+                               microbatch=microbatch)
         valid = jnp.ones((spe,), bool) if spe > 1 else None
 
         def run_one(params, opt_state, item):
@@ -377,7 +381,7 @@ def main():
                     "rgbs": jnp.asarray(pool_rgb)}
             stepP = make_device_pool_step(
                 cfg, tx, mask, batch_size=batch_size, donate=True,
-                steps_per_execution=spe_pool)
+                steps_per_execution=spe_pool, microbatch=microbatch)
             steps_w = max(spe_pool,
                           measure_steps - measure_steps % spe_pool)
             n_steps_j = jnp.int32(10 ** 9)  # every sub-step is real
