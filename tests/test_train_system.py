@@ -451,6 +451,27 @@ def test_render_chunked_inflight_window():
         assert len(serial[k]) == 700
 
 
+def test_render_chunked_async_matches_sync():
+    """The deferred-readback variant must reproduce render_chunked exactly,
+    including with two frames' dispatches interleaved (the eval CLI's
+    frame pipeline)."""
+    from nerf_fl_tpu.training.system import render_chunked_async
+
+    params, *_ = build()
+    cfg = CFG.eval_variant()
+    b1, b2 = make_batch(n=300, seed=1), make_batch(n=300, seed=2)
+    args1 = (np.asarray(b1["rays"]), np.asarray(b1["ts"]))
+    args2 = (np.asarray(b2["rays"]), np.asarray(b2["ts"]))
+    sync1 = render_chunked(params, *args1, cfg, chunk=128, test_time=True)
+    sync2 = render_chunked(params, *args2, cfg, chunk=128, test_time=True)
+    f1 = render_chunked_async(params, *args1, cfg, chunk=128, test_time=True)
+    f2 = render_chunked_async(params, *args2, cfg, chunk=128, test_time=True)
+    async1, async2 = f1(), f2()
+    for k in sync1:
+        np.testing.assert_allclose(sync1[k], async1[k], atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(sync2[k], async2[k], atol=1e-6, err_msg=k)
+
+
 def test_render_chunked_sharded_matches_single_device():
     """Data-parallel eval: sharding each chunk's rays over the 'data' mesh
     axis must reproduce the single-device render exactly."""
