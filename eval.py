@@ -173,9 +173,13 @@ def main(args):
     # Unlike the reference (whose chunk also limits the internal MLP point
     # batches, rendering.py:119), our chunk IS the fused program size: cap
     # the per-program sample-point count so huge --chunk values can't OOM.
+    # The cap snaps to a power of two so the compiled render program is
+    # SHARED with training's val renders (default --chunk 32768) — one big
+    # compile per model family instead of two, which matters on
+    # remote-compile TPU runtimes (30-400 s/program).
     total_samples = args.N_samples * (2 if args.N_importance > 0 else 1) \
         + args.N_importance
-    max_chunk = max(1024, (6_000_000 // total_samples) // 1024 * 1024)
+    max_chunk = max(1024, 2 ** int(np.log2(6_500_000 / total_samples)))
     chunk = min(args.chunk, max_chunk)
     if chunk < args.chunk:
         print(f'[eval] clamping chunk {args.chunk} -> {chunk} '

@@ -34,11 +34,15 @@ EVCOMMON="--dataset_name blender --root_dir $SCENE --split test \
 
 run () {  # name, extra train flags, extra eval flags
   name=$1; tflags=$2; eflags=$3
-  python train.py $COMMON --exp_name qm_$name $tflags \
-    > experiments/r3/qm_${name}_train.log 2>&1
-  python eval.py $EVCOMMON --ckpt_path $CK/qm_$name/epoch=9.ckpt \
-    --scene_name qm_$name $eflags \
-    > experiments/r3/qm_${name}_eval.log 2>&1
+  if [ ! -f $CK/qm_$name/epoch=9.ckpt ]; then
+    python train.py $COMMON --exp_name qm_$name $tflags \
+      > experiments/r3/qm_${name}_train.log 2>&1
+  fi
+  if ! grep -q "Mean PSNR" experiments/r3/qm_${name}_eval.log 2>/dev/null; then
+    python eval.py $EVCOMMON --ckpt_path $CK/qm_$name/epoch=9.ckpt \
+      --scene_name qm_$name $eflags \
+      > experiments/r3/qm_${name}_eval.log 2>&1
+  fi
   tail -1 experiments/r3/qm_${name}_eval.log
 }
 
