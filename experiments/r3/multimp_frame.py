@@ -46,7 +46,7 @@ def main():
                        perturb=0.0, noise_std=0.0,
                        compute_dtype="bfloat16")
     params = build_params(jax.random.PRNGKey(0), cfg, 1500)
-    chunk = 30720  # eval.py's clamp for 192 samples/ray
+    chunk = 32768  # eval.py's power-of-two clamp for 192 samples/ray
     wanted = ["rgb_fine", "depth_fine"]
 
     for (W, H) in ((400, 400), (2048, 1536)):
