@@ -7,6 +7,18 @@
 #   NeRF-U >> NeRF on occluded data
 #   NeRF-W > NeRF on color+occ data
 #   clean NeRF > perturbed-data NeRFs
+#
+# The fixture is generated at NATIVE 800x800 (like the real blender lego
+# scene) and trained/evaled at --img_wh 200: the seeded perturbations are
+# applied at native size BEFORE the LANCZOS resize, exactly as the
+# reference does (datasets/blender.py:76-88).  This matters: the
+# occlusion perturbation draws its 200x200 stripe block at pixel offsets
+# (U{200..399}, U{200..399}) — sized for 800-native images.  A first
+# attempt at this matrix used a 200-native fixture and the occluder
+# landed entirely OFF-CANVAS, making every occ arm bitwise identical to
+# clean (both scored 40.03; logs kept as qm_*.log).  The 800-native rerun
+# (qm8_*.log) covers ~23% of the ball per occluded image.
+#
 # Recipe per run: N_importance 64, 200^2, noise_std 0, adam 5e-4 cosine,
 # b1024, 10 epochs (=15.6k steps), bf16 fast path (quality-neutral per
 # docs/QUALITY.md).  Eval: clean test split at 200^2 (the perturbations
@@ -15,13 +27,13 @@
 # appearance code — mirroring the reference eval.py convention).
 set -x
 cd /root/repo
-SCENE=/tmp/qm_scene
-CK=/tmp/qm_ckpts
+SCENE=/tmp/qm_scene800
+CK=/tmp/qm_ckpts800
 python - <<'EOF'
 import sys
 sys.path.insert(0, 'tests')
 from fixtures import make_blender_scene
-make_blender_scene('/tmp/qm_scene', n_train=40, n_val=4, n_test=8, size=200)
+make_blender_scene('/tmp/qm_scene800', n_train=40, n_val=4, n_test=8, size=800)
 print('fixture ok')
 EOF
 
@@ -34,16 +46,16 @@ EVCOMMON="--dataset_name blender --root_dir $SCENE --split test \
 
 run () {  # name, extra train flags, extra eval flags
   name=$1; tflags=$2; eflags=$3
-  if [ ! -f $CK/qm_$name/epoch=9.ckpt ]; then
-    python train.py $COMMON --exp_name qm_$name $tflags \
-      > experiments/r3/qm_${name}_train.log 2>&1
+  if [ ! -f $CK/qm8_$name/epoch=9.ckpt ]; then
+    python train.py $COMMON --exp_name qm8_$name $tflags \
+      > experiments/r3/qm8_${name}_train.log 2>&1
   fi
-  if ! grep -q "Mean PSNR" experiments/r3/qm_${name}_eval.log 2>/dev/null; then
-    python eval.py $EVCOMMON --ckpt_path $CK/qm_$name/epoch=9.ckpt \
-      --scene_name qm_$name $eflags \
-      > experiments/r3/qm_${name}_eval.log 2>&1
+  if ! grep -q "Mean PSNR" experiments/r3/qm8_${name}_eval.log 2>/dev/null; then
+    python eval.py $EVCOMMON --ckpt_path $CK/qm8_$name/epoch=9.ckpt \
+      --scene_name qm8_$name $eflags \
+      > experiments/r3/qm8_${name}_eval.log 2>&1
   fi
-  tail -1 experiments/r3/qm_${name}_eval.log
+  tail -1 experiments/r3/qm8_${name}_eval.log
 }
 
 run clean       ""                                               ""
@@ -56,5 +68,5 @@ run co_nerfw    "--data_perturb color occ --encode_a --encode_t --beta_min 0.1" 
 
 echo "=== SUMMARY ==="
 for n in clean color_nerf color_nerfa occ_nerf occ_nerfu co_nerf co_nerfw; do
-  echo -n "$n: "; grep "Mean PSNR" experiments/r3/qm_${n}_eval.log || echo "MISSING"
+  echo -n "$n: "; grep "Mean PSNR" experiments/r3/qm8_${n}_eval.log || echo "MISSING"
 done
