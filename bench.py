@@ -193,12 +193,9 @@ def main():
     # 30-400 s per program COLD but honors the cache (measured 412.8 s ->
     # 8.5 s for an identical program).  The pre-warmed cache is committed
     # with the repo so a cold driver run pays seconds, not minutes.
-    try:
-        jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:
-        _progress(f"compilation cache unavailable: {e}")
+    from nerf_fl_tpu.utils.compile_cache import enable_compile_cache
+    if enable_compile_cache(COMPILE_CACHE) is None:
+        _progress("compilation cache disabled/unavailable")
 
     import jax.numpy as jnp
     import types
@@ -424,11 +421,16 @@ def main():
             _progress(f"stage 3 failed ({e}); keeping earlier result")
 
     # ---- comparator + emit -------------------------------------------------
-    if not os.path.exists(REF_CPU_CACHE) and time_left() > 120:
-        reference_cpu_rays_per_sec()
-        _BEST["result"] = _finalize(
-            _BEST["result"]["value"], _BEST["result"]["steps_per_execution"],
-            _BEST["result"]["windows"], _BEST["result"].get("note"))
+    if time_left() > 120 and (not os.path.exists(REF_CPU_CACHE)
+                              or os.environ.get("BENCH_REMEASURE_REF")):
+        ref = reference_cpu_rays_per_sec()
+        if ref:
+            # patch in place: rebuilding via _finalize would drop fields
+            # publish() added (data_path) and, under BENCH_REMEASURE_REF,
+            # skip the cache we just rewrote
+            res = _BEST["result"]
+            res["reference_cpu_rays_per_sec"] = round(ref, 1)
+            res["vs_reference_cpu_same_host"] = round(res["value"] / ref, 2)
     print(json.dumps(_BEST["result"]), flush=True)
 
 

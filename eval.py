@@ -171,19 +171,16 @@ def main(args):
         wanted.append(f'depth_{typ}')
 
     # Unlike the reference (whose chunk also limits the internal MLP point
-    # batches, rendering.py:119), our chunk IS the fused program size: cap
-    # the per-program sample-point count so huge --chunk values can't OOM.
-    # The cap snaps to a power of two so the compiled render program is
-    # SHARED with training's val renders (default --chunk 32768) — one big
-    # compile per model family instead of two, which matters on
-    # remote-compile TPU runtimes (30-400 s/program).
-    total_samples = args.N_samples * (2 if args.N_importance > 0 else 1) \
-        + args.N_importance
-    max_chunk = max(1024, 2 ** int(np.log2(6_500_000 / total_samples)))
-    chunk = min(args.chunk, max_chunk)
+    # batches, rendering.py:119), our chunk IS the fused program size:
+    # val_chunk_cap bounds the per-program sample-point count so huge
+    # --chunk values can't OOM, and because training's val renders apply
+    # the SAME cap, eval reuses training's compiled render program for
+    # every sampling config — one big compile per model family instead of
+    # two, which matters on remote-compile TPU runtimes (30-400 s/program).
+    from nerf_fl_tpu.training.system import val_chunk_cap
+    chunk = val_chunk_cap(args.chunk, args.N_samples, args.N_importance)
     if chunk < args.chunk:
-        print(f'[eval] clamping chunk {args.chunk} -> {chunk} '
-              f'({total_samples} samples/ray)')
+        print(f'[eval] clamping chunk {args.chunk} -> {chunk}')
     # per-frame host work (ray generation in dataset[i], PNG encode) costs
     # as much as the render itself — overlap it: a prefetch thread builds
     # the next frame's rays while the device renders, and image writes run

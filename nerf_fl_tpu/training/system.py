@@ -271,7 +271,9 @@ def device_epoch_perm(key, n_pool: int, n_padded: int):
     perm = jax.random.permutation(key, jnp.arange(n_pool, dtype=jnp.int32))
     if n_padded <= n_pool:
         return perm[:n_padded]
-    return jnp.concatenate([perm, perm[:n_padded - n_pool]])
+    # exact wrap-around for ANY n_padded (not just <= 2*n_pool): repeat the
+    # epoch's order whole-cycle, then trim
+    return jnp.tile(perm, -(-n_padded // n_pool))[:n_padded]
 
 
 def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
@@ -362,6 +364,18 @@ def _jitted_render(cfg: RenderConfig, test_time: bool, output_transient: bool,
     if out_sharding is not None:
         return jax.jit(run, out_shardings=out_sharding)
     return jax.jit(run)
+
+
+def val_chunk_cap(chunk: int, n_samples: int, n_importance: int) -> int:
+    """Largest render chunk (power of two, >= 1024) whose per-program
+    sample-point count stays under a ~6.5M budget.  Both training's val
+    renders (run_validation) and eval.py route through this, so for EVERY
+    sampling config they compile the SAME program — one remote compile per
+    model family (30-400 s each on this runtime) instead of two, and
+    neither path can OOM on huge --chunk x samples products."""
+    total = n_samples * (2 if n_importance > 0 else 1) + n_importance
+    cap = max(1024, 2 ** int(np.log2(6_500_000 / max(1, total))))
+    return min(chunk, cap)
 
 
 def render_chunked(params, rays: np.ndarray, ts: np.ndarray,
@@ -758,7 +772,9 @@ class NeRFSystem:
             sample = self.val_dataset[i]
             rays, ts, rgbs = sample["rays"], sample["ts"], sample["rgbs"]
             res = render_chunked(
-                self.params, rays, ts, self.cfg, chunk=h.chunk,
+                self.params, rays, ts, self.cfg,
+                chunk=val_chunk_cap(h.chunk, self.cfg.N_samples,
+                                    self.cfg.N_importance),
                 test_time=False, epoch=float(epoch),
                 rng=jax.random.PRNGKey(1000 + i),
                 keys=("rgb_coarse", "rgb_fine", "depth_coarse", "depth_fine",
@@ -844,6 +860,11 @@ class NeRFSystem:
                 perm = device_epoch_perm(
                     jax.random.fold_in(shuffle_rng, epoch), n_pool,
                     n_groups * spe * h.batch_size)
+                if np.prod(list(self.mesh.shape.values())) > 1:
+                    # pin the perm replicated like the pool; otherwise every
+                    # K-step dispatch re-broadcasts it from device 0
+                    from ..parallel import replicated
+                    perm = jax.device_put(perm, replicated(self.mesh))
                 n_steps_j = jnp.int32(n_steps)
                 feed = None
 

@@ -255,6 +255,39 @@ def test_device_pool_step_matches_host_fed():
         list(range(n_steps * B))
 
 
+def test_device_epoch_perm_many_wrap_cycles():
+    """n_padded > 2*n_pool must still return n_padded entries of exact
+    whole-cycle wrap-around (regression: the old concat clipped at 2x,
+    silently re-feeding the tail batch for long windows)."""
+    from nerf_fl_tpu.training.system import device_epoch_perm
+
+    n_pool, n_padded = 48, 48 * 5 + 7
+    pm = np.asarray(device_epoch_perm(jax.random.PRNGKey(1), n_pool,
+                                      n_padded))
+    assert pm.shape == (n_padded,)
+    one = pm[:n_pool]
+    assert sorted(one.tolist()) == list(range(n_pool))
+    np.testing.assert_array_equal(pm, np.tile(one, 6)[:n_padded])
+
+
+def test_val_chunk_cap_shared_between_train_and_eval():
+    """run_validation and eval.py must compile the SAME render program:
+    both route their chunk through val_chunk_cap for every sampling
+    config (regression: eval's old pow2 snap produced 16384 at
+    N_samples=64/N_importance=128 while training rendered at 32768)."""
+    from nerf_fl_tpu.training.system import val_chunk_cap
+
+    # the flagship 64+64 family keeps the default 32768-ray program
+    assert val_chunk_cap(32 * 1024, 64, 64) == 32 * 1024
+    # heavier sampling clamps BOTH paths to the same pow2 program
+    assert val_chunk_cap(32 * 1024, 64, 128) == 16 * 1024
+    assert val_chunk_cap(32 * 1024, 128, 128) == 16 * 1024
+    # coarse-only doubles nothing and never exceeds the requested chunk
+    assert val_chunk_cap(4096, 64, 0) == 4096
+    # floor
+    assert val_chunk_cap(32 * 1024, 4096, 4096) == 1024
+
+
 def test_device_pool_dp_sharded():
     """Device-pool step over an 8-chip data mesh: pool replicated, gathered
     batch constrained to the 'data' axis; result matches single-device."""
