@@ -9,6 +9,7 @@ supported at eval — learned pose deltas are loaded from the checkpoint and
 composed onto the dataset poses when rendering train-pose-based splits.
 """
 import os
+import time
 from argparse import ArgumentParser
 
 import numpy as np
@@ -224,9 +225,11 @@ def main(args):
                     img_pred.transpose(2, 0, 1)[None],
                     np.ascontiguousarray(
                         img_gt.transpose(2, 0, 1))[None])))
+        frame_marks.append(time.perf_counter())
         print(f'frame {i + 1}/{len(dataset)}', flush=True)
 
     prev = None
+    frame_marks = [time.perf_counter()]
     for i, sample in enumerate(frames):
         if args.dataset_name == 'blender':
             w, h = args.img_wh
@@ -271,6 +274,18 @@ def main(args):
     for f in writes:
         f.result()  # surface writer-thread errors
     writer.shutdown()
+
+    if len(frame_marks) > 1:
+        deltas = np.diff(frame_marks)
+        total = frame_marks[-1] - frame_marks[0]
+        msg = (f'[eval] {len(deltas)} frames in {total:.1f} s '
+               f'({total / len(deltas):.2f} s/frame')
+        if len(deltas) > 1:
+            # frame 1 pays the program compile (seconds warm-cache,
+            # minutes cold on this remote-compile runtime); the steady
+            # rate is the honest pipeline number
+            msg += f'; steady {float(np.mean(deltas[1:])):.2f} s/frame'
+        print(msg + ')', flush=True)
 
     if args.dataset_name == 'blender' or \
             (args.dataset_name == 'phototourism' and args.split == 'test'):

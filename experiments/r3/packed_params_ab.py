@@ -73,13 +73,32 @@ def main():
     def xla_apply(p, xyz, d, a, t):
         xe = posenc(xyz, 10, fast=True).astype(jnp.bfloat16)
         de = posenc(d, 4, fast=True).astype(jnp.bfloat16)
-        o = apply_nerf(p, xe, de, a_emb=a.astype(jnp.bfloat16),
-                       t_emb=t.astype(jnp.bfloat16), output_transient=True,
-                       compute_dtype=jnp.bfloat16)
+        da = jnp.concatenate([de, a.astype(jnp.bfloat16)], axis=-1)
+        o = apply_nerf(p, fcfg, xe, da, t.astype(jnp.bfloat16),
+                       output_transient=True, compute_dtype=jnp.bfloat16)
         return sum(jnp.sum(v.astype(jnp.float32)) for v in o.values())
 
     def xla_loss(p, xyz, d, a, t):
         l, g = jax.value_and_grad(xla_apply)(p, xyz, d, a, t)
+        return l + jnp.sum(g["xyz"][0]["w"])
+
+    # the PRODUCTION XLA path: per-RAY dir/a/t conditioning contracted per
+    # ray inside apply_nerf (round-2 matmul-split, _dense_ray_cond) — the
+    # honest bar; the per-point variant above matches the kernel's input
+    # semantics instead
+    S = 128
+
+    def xla_rayc(p, xyz, d_ray, a_ray, t_ray):
+        xe = posenc(xyz, 10, fast=True).astype(jnp.bfloat16)
+        de = posenc(d_ray, 4, fast=True).astype(jnp.bfloat16)
+        da = jnp.concatenate([de, a_ray.astype(jnp.bfloat16)], axis=-1)
+        o = apply_nerf(p, fcfg, xe, da, t_ray.astype(jnp.bfloat16),
+                       output_transient=True, compute_dtype=jnp.bfloat16,
+                       samples_per_ray=S)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in o.values())
+
+    def xla_rayc_loss(p, xyz, d_ray, a_ray, t_ray):
+        l, g = jax.value_and_grad(xla_rayc)(p, xyz, d_ray, a_ray, t_ray)
         return l + jnp.sum(g["xyz"][0]["w"])
 
     def wrapped_fwd(p, xyz, d, a, t):
@@ -122,6 +141,11 @@ def main():
 
         bench(f"xla_fwd_N{N}", jax.jit(xla_apply), mp, xyz, d, a, t)
         bench(f"xla_fwdbwd_N{N}", jax.jit(xla_loss), mp, xyz, d, a, t)
+        d_ray, a_ray, t_ray = d[::S], a[::S], t[::S]
+        bench(f"xla_rayc_fwd_N{N}", jax.jit(xla_rayc),
+              mp, xyz, d_ray, a_ray, t_ray)
+        bench(f"xla_rayc_fwdbwd_N{N}", jax.jit(xla_rayc_loss),
+              mp, xyz, d_ray, a_ray, t_ray)
         bench(f"pallas_wrapped_fwd_N{N}", jax.jit(wrapped_fwd),
               mp, xyz, d, a, t)
         bench(f"pallas_wrapped_fwdbwd_N{N}", jax.jit(wrapped_loss),

@@ -27,9 +27,15 @@ def _look_at_pose(theta: float, radius: float = 4.0, height: float = 1.0):
     return c2w
 
 
-def _render_ball(size: int, c2w: np.ndarray, focal: float) -> np.ndarray:
+def _render_ball(size: int, c2w: np.ndarray, focal: float,
+                 texture: bool = False) -> np.ndarray:
     """Analytic RGBA render of a unit ball at the origin — enough structure
-    for loss-goes-down tests."""
+    for loss-goes-down tests.  With texture=True a checker pattern in
+    spherical surface coordinates modulates the luminance: the smooth
+    position gradient alone leaves the static/appearance color split
+    underdetermined (a global color shift is absorbable by every NeRF-W
+    appearance code — see docs/QUALITY.md's co_nerfw bisect), while the
+    checker pins the static field the way lego's texture does."""
     i, j = np.meshgrid(np.arange(size), np.arange(size), indexing="xy")
     dirs = np.stack([(i - size / 2) / focal, -(j - size / 2) / focal,
                      -np.ones_like(i)], -1).astype(np.float64)
@@ -43,6 +49,12 @@ def _render_ball(size: int, c2w: np.ndarray, focal: float) -> np.ndarray:
     t = (-b - np.sqrt(np.maximum(disc, 0))) / 2
     p = ro + rd * t[..., None]
     color = np.clip(0.5 + 0.5 * p, 0, 1)
+    if texture:
+        az = np.arctan2(p[..., 1], p[..., 0])          # [-pi, pi]
+        pol = np.arccos(np.clip(p[..., 2], -1, 1))     # [0, pi]
+        checker = (np.floor(az / (np.pi / 6))
+                   + np.floor(pol / (np.pi / 12))) % 2
+        color = color * (0.35 + 0.65 * checker[..., None])
     img = np.zeros((size, size, 4))
     img[hit, :3] = color[hit]
     img[hit, 3] = 1.0
@@ -51,7 +63,8 @@ def _render_ball(size: int, c2w: np.ndarray, focal: float) -> np.ndarray:
 
 def make_blender_scene(root: str, n_train: int = 4, n_val: int = 2,
                        n_test: int = 2, size: int = 40,
-                       camera_angle_x: float = 0.8) -> None:
+                       camera_angle_x: float = 0.8,
+                       texture: bool = False) -> None:
     focal = 0.5 * size / np.tan(0.5 * camera_angle_x)
     counts = {"train": n_train, "val": n_val, "test": n_test}
     k = 0
@@ -62,7 +75,7 @@ def make_blender_scene(root: str, n_train: int = 4, n_val: int = 2,
             theta = 2 * np.pi * (k * 0.37 % 1.0)
             k += 1
             c2w = _look_at_pose(theta)
-            img = _render_ball(size, c2w, focal)
+            img = _render_ball(size, c2w, focal, texture=texture)
             rel = f"./{split}/r_{idx}"
             Image.fromarray(img).save(os.path.join(root, f"{rel}.png"))
             frames.append({"file_path": rel,
