@@ -143,8 +143,11 @@ def _progress(msg):
 
 
 def _finalize(rays_per_sec, spe, windows, note=None):
+    b = int(os.environ.get("BENCH_BATCH", 1024))
+    mb = max(1, int(os.environ.get("BENCH_MICROBATCH", 1)))
+    label = f"b{b}" + (f"_mb{mb}" if mb > 1 else "")
     result = {
-        "metric": "train_rays_per_sec_nerfw_64+64_b1024",
+        "metric": f"train_rays_per_sec_nerfw_64+64_{label}",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
         "steps_per_execution": spe,
@@ -369,7 +372,7 @@ def main():
     spe_pool = max(1, int(os.environ.get("BENCH_POOL_SPE", 32)))
     if os.environ.get("BENCH_DEVICE_POOL", "1") != "0" and time_left() > 60:
         try:
-            from nerf_fl_tpu.training.system import (device_epoch_perm,
+            from nerf_fl_tpu.training.system import (epoch_perm,
                                                      make_device_pool_step)
             _progress(f"stage 3: device-pool K={spe_pool} compile+warmup "
                       f"({time_left():.0f}s left)")
@@ -382,9 +385,9 @@ def main():
             steps_w = max(spe_pool,
                           measure_steps - measure_steps % spe_pool)
             n_steps_j = jnp.int32(10 ** 9)  # every sub-step is real
-            perm = device_epoch_perm(jax.random.PRNGKey(2), n_pool,
-                                     ((steps_w * batch_size - 1) // n_pool
-                                      + 1) * n_pool)
+            perm = jnp.asarray(epoch_perm(
+                2, 0, n_pool,
+                ((steps_w * batch_size - 1) // n_pool + 1) * n_pool))
             paramsP = build_params(jax.random.PRNGKey(0), cfg, 1500)
             opt_stateP = tx.init(paramsP)
 

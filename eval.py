@@ -193,12 +193,17 @@ def main(args):
     frames = DevicePrefetcher(iter(range(len(dataset))),
                               lambda i: dataset[i], depth=2)
 
+    phase_s = {"drain": 0.0, "host": 0.0}
+
     def process(item):
         """Frame epilogue: drain the deferred render, then all host work
         (clip/uint8, PNG submit, PSNR/SSIM).  Called AFTER the next frame's
         chunks are dispatched, so this overlaps the device render."""
         i, sample, w, h, finish, right_mask = item
+        t_p = time.perf_counter()
         results = finish()
+        phase_s["drain"] += time.perf_counter() - t_p
+        t_p = time.perf_counter()
         img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
         img_pred_ = (img_pred * 255).astype(np.uint8)
         imgs.append(img_pred_)
@@ -225,6 +230,7 @@ def main(args):
                     img_pred.transpose(2, 0, 1)[None],
                     np.ascontiguousarray(
                         img_gt.transpose(2, 0, 1))[None])))
+        phase_s["host"] += time.perf_counter() - t_p
         frame_marks.append(time.perf_counter())
         print(f'frame {i + 1}/{len(dataset)}', flush=True)
 
@@ -285,6 +291,8 @@ def main(args):
             # minutes cold on this remote-compile runtime); the steady
             # rate is the honest pipeline number
             msg += f'; steady {float(np.mean(deltas[1:])):.2f} s/frame'
+        msg += (f'; per-frame drain {phase_s["drain"] / len(deltas):.2f} s, '
+                f'frame-epilogue host {phase_s["host"] / len(deltas):.2f} s')
         print(msg + ')', flush=True)
 
     if args.dataset_name == 'blender' or \

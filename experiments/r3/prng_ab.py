@@ -27,7 +27,7 @@ from nerf_fl_tpu.render import RenderConfig  # noqa: E402
 from nerf_fl_tpu.training.optimizers import (build_optimizer,  # noqa: E402
                                              make_trainable_mask)
 from nerf_fl_tpu.training.system import (build_params,  # noqa: E402
-                                         device_epoch_perm,
+                                         epoch_perm,
                                          make_device_pool_step)
 
 B = int(os.environ.get("AB_BATCH", 1024))
@@ -57,7 +57,7 @@ def measure(impl):
                  np.full((n_pool, 1), 6, np.float32)], 1)),
             "ts": jnp.asarray(rng.integers(0, 1500, n_pool), jnp.int32),
             "rgbs": jnp.asarray(rng.uniform(0, 1, (n_pool, 3)), jnp.float32)}
-    perm = device_epoch_perm(jax.random.PRNGKey(2), n_pool, n_pool)
+    perm = jnp.asarray(epoch_perm(2, 0, n_pool, n_pool))
     base = jax.random.key(1, impl=impl)  # typed key: carries its impl
     lr, ep, big = jnp.float32(5e-4), jnp.float32(0.0), jnp.int32(10 ** 9)
 

@@ -263,17 +263,24 @@ def fold_in_range(base, start, k: int):
 # overhead on top of device time.  The reference has no analog (its
 # DataLoader re-gathers on the host every step, train.py:144-149).
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=())
-def device_epoch_perm(key, n_pool: int, n_padded: int):
-    """Per-epoch device-side shuffle: a permutation of [0, n_pool) padded by
-    wrap-around to ``n_padded`` entries so whole K-step groups can slice it
-    without a tail branch (padded steps are masked out by ``n_steps``)."""
-    perm = jax.random.permutation(key, jnp.arange(n_pool, dtype=jnp.int32))
+def epoch_perm(seed: int, epoch: int, n_pool: int,
+               n_padded: int) -> np.ndarray:
+    """Per-epoch batch order for the device pool: the SAME permutation the
+    host-fed RayBatcher draws (``np.random.default_rng(seed + epoch)``,
+    data/sampler.py), so the device-pool, host-fed, and multihost data
+    paths train batch-for-batch identically for a given seed — a run's
+    trajectory must not depend on which data path the process topology
+    happens to pick (the e2e contract in tests/test_multihost.py).  Padded
+    by whole-cycle wrap-around to ``n_padded`` so K-step groups can slice
+    it without a tail branch (padded steps are masked out by ``n_steps``).
+    Host-side numpy on purpose: one O(n_pool) shuffle per EPOCH amortizes
+    to ~4 bytes/ray of upload vs the host-fed path's ~52 bytes/ray every
+    step."""
+    perm = np.random.default_rng(seed + epoch).permutation(n_pool) \
+        .astype(np.int32)
     if n_padded <= n_pool:
         return perm[:n_padded]
-    # exact wrap-around for ANY n_padded (not just <= 2*n_pool): repeat the
-    # epoch's order whole-cycle, then trim
-    return jnp.tile(perm, -(-n_padded // n_pool))[:n_padded]
+    return np.tile(perm, -(-n_padded // n_pool))[:n_padded]
 
 
 def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
@@ -288,7 +295,7 @@ def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
         fn(params, opt_state, pool, perm, i0, rng0, n_steps, lr, epoch,
            base_rng)
           pool:   {'rays','ts','rgbs'} device arrays over the FULL dataset
-          perm:   (>= (i0+K)*B,) int32 epoch permutation (device_epoch_perm)
+          perm:   (>= (i0+K)*B,) int32 epoch permutation (epoch_perm)
           i0:     int32 scalar — EPOCH-LOCAL step index of the group's first
                   sub-step (indexes perm and the n_steps validity bound)
           rng0:   uint32 scalar — GLOBAL step index of the same sub-step
@@ -821,7 +828,6 @@ class NeRFSystem:
         prof_dir = getattr(h, "profile_dir", None)
         self._prof_tracing = False
         self._prof_done = False
-        shuffle_rng = jax.random.PRNGKey(getattr(h, "seed", 0) + 777)
 
         def prof_before():
             if (prof_dir and not self._prof_tracing and not self._prof_done
@@ -857,14 +863,15 @@ class NeRFSystem:
                 pool, n_pool = self.device_pool
                 n_steps = self.batcher.steps_per_epoch()
                 n_groups = max(1, -(-n_steps // spe))
-                perm = device_epoch_perm(
-                    jax.random.fold_in(shuffle_rng, epoch), n_pool,
-                    n_groups * spe * h.batch_size)
+                perm = epoch_perm(getattr(h, "seed", 0), epoch, n_pool,
+                                  n_groups * spe * h.batch_size)
                 if np.prod(list(self.mesh.shape.values())) > 1:
                     # pin the perm replicated like the pool; otherwise every
                     # K-step dispatch re-broadcasts it from device 0
                     from ..parallel import replicated
                     perm = jax.device_put(perm, replicated(self.mesh))
+                else:
+                    perm = jnp.asarray(perm)
                 n_steps_j = jnp.int32(n_steps)
                 feed = None
 

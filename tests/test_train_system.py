@@ -209,7 +209,7 @@ def test_device_pool_step_matches_host_fed():
     """The device-resident-pool scanned step must reproduce host-fed
     sequential steps when handed the same ray order and RNG stream,
     including masking of the padded epoch-tail sub-step."""
-    from nerf_fl_tpu.training.system import (device_epoch_perm,
+    from nerf_fl_tpu.training.system import (epoch_perm,
                                              make_device_pool_step)
 
     B, K, n_steps = 64, 4, 3  # 3 real sub-steps, 1 masked
@@ -249,25 +249,43 @@ def test_device_pool_step_matches_host_fed():
                                    atol=1e-5, rtol=1e-3)
 
     # the epoch shuffle covers every pool row exactly once (+ wrap padding)
-    pm = device_epoch_perm(jax.random.PRNGKey(0), n_steps * B, K * B)
+    pm = epoch_perm(0, 0, n_steps * B, K * B)
     assert pm.shape == (K * B,)
     assert sorted(np.asarray(pm)[:n_steps * B].tolist()) == \
         list(range(n_steps * B))
 
 
-def test_device_epoch_perm_many_wrap_cycles():
+def test_epoch_perm_many_wrap_cycles():
     """n_padded > 2*n_pool must still return n_padded entries of exact
     whole-cycle wrap-around (regression: the old concat clipped at 2x,
     silently re-feeding the tail batch for long windows)."""
-    from nerf_fl_tpu.training.system import device_epoch_perm
+    from nerf_fl_tpu.training.system import epoch_perm
 
     n_pool, n_padded = 48, 48 * 5 + 7
-    pm = np.asarray(device_epoch_perm(jax.random.PRNGKey(1), n_pool,
-                                      n_padded))
+    pm = np.asarray(epoch_perm(1, 0, n_pool, n_padded))
     assert pm.shape == (n_padded,)
     one = pm[:n_pool]
     assert sorted(one.tolist()) == list(range(n_pool))
     np.testing.assert_array_equal(pm, np.tile(one, 6)[:n_padded])
+
+
+def test_epoch_perm_matches_ray_batcher_order():
+    """The device pool must consume rays in EXACTLY the order the host-fed
+    RayBatcher yields them for the same seed+epoch — the process-topology
+    independence contract (a single-process pool run must train identically
+    to a multi-process host-fed run, tests/test_multihost.py)."""
+    from nerf_fl_tpu.data.sampler import RayBatcher
+    from nerf_fl_tpu.training.system import epoch_perm
+
+    n, B, seed = 640, 64, 5
+    rays = np.arange(n * 8, dtype=np.float32).reshape(n, 8)
+    ts = np.arange(n, dtype=np.int32)
+    rgbs = np.zeros((n, 3), np.float32)
+    batcher = RayBatcher(rays, ts, rgbs, batch_size=B, seed=seed)
+    for epoch in (0, 3):
+        pm = epoch_perm(seed, epoch, n, n)
+        for j, b in enumerate(batcher.epoch(epoch)):
+            np.testing.assert_array_equal(b["ts"], pm[j * B:(j + 1) * B])
 
 
 def test_val_chunk_cap_shared_between_train_and_eval():
