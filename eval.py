@@ -193,7 +193,7 @@ def main(args):
     frames = DevicePrefetcher(iter(range(len(dataset))),
                               lambda i: dataset[i], depth=2)
 
-    phase_s = {"drain": 0.0, "host": 0.0}
+    phase_s = {"drain": [], "host": []}
 
     def process(item):
         """Frame epilogue: drain the deferred render, then all host work
@@ -202,7 +202,7 @@ def main(args):
         i, sample, w, h, finish, right_mask = item
         t_p = time.perf_counter()
         results = finish()
-        phase_s["drain"] += time.perf_counter() - t_p
+        phase_s["drain"].append(time.perf_counter() - t_p)
         t_p = time.perf_counter()
         img_pred = np.clip(results[f'rgb_{typ}'].reshape(h, w, 3), 0, 1)
         img_pred_ = (img_pred * 255).astype(np.uint8)
@@ -230,7 +230,7 @@ def main(args):
                     img_pred.transpose(2, 0, 1)[None],
                     np.ascontiguousarray(
                         img_gt.transpose(2, 0, 1))[None])))
-        phase_s["host"] += time.perf_counter() - t_p
+        phase_s["host"].append(time.perf_counter() - t_p)
         frame_marks.append(time.perf_counter())
         print(f'frame {i + 1}/{len(dataset)}', flush=True)
 
@@ -291,8 +291,13 @@ def main(args):
             # minutes cold on this remote-compile runtime); the steady
             # rate is the honest pipeline number
             msg += f'; steady {float(np.mean(deltas[1:])):.2f} s/frame'
-        msg += (f'; per-frame drain {phase_s["drain"] / len(deltas):.2f} s, '
-                f'frame-epilogue host {phase_s["host"] / len(deltas):.2f} s')
+        # phase means exclude the first frame, whose drain carries the
+        # program compile on this remote-compile runtime
+        tail_i = 1 if len(phase_s["drain"]) > 1 else 0
+        msg += (f'; steady per-frame drain '
+                f'{float(np.mean(phase_s["drain"][tail_i:])):.2f} s, '
+                f'epilogue host '
+                f'{float(np.mean(phase_s["host"][tail_i:])):.2f} s')
         print(msg + ')', flush=True)
 
     if args.dataset_name == 'blender' or \
