@@ -15,6 +15,7 @@ from nerf_fl_tpu.render.renderer import RenderConfig
 
 CKPT = sys.argv[1] if len(sys.argv) > 1 else \
     '/tmp/qm_ckpts800/qm8_co_nerfw/epoch=9.ckpt'
+SCENE = sys.argv[2] if len(sys.argv) > 2 else '/tmp/qm_scene800'
 cfg = RenderConfig(N_samples=64, N_importance=64, N_emb_xyz=10, N_emb_dir=4,
                    encode_a=True, encode_t=True, N_a=48, N_tau=16,
                    beta_min=0.1, perturb=0.0, noise_std=0.0,
@@ -29,7 +30,7 @@ def psnr(a, b):
 
 
 SUB = 16
-ds = dataset_dict['blender']('/tmp/qm_scene800', 'test', img_wh=(200, 200))
+ds = dataset_dict['blender'](SCENE, 'test', img_wh=(200, 200))
 s = ds[0]
 rays = np.asarray(s['rays'])[::SUB]
 gt = np.asarray(s['rgbs'])[::SUB]
@@ -43,7 +44,7 @@ for a_id in range(3):
           f"mean rgb {img.mean(0)} (gt mean {gt.mean(0)})", flush=True)
 
 # decomposition at a train view (id 3, perturbed)
-ds_tr = dataset_dict['blender']('/tmp/qm_scene800', 'test_train',
+ds_tr = dataset_dict['blender'](SCENE, 'test_train',
                                 img_wh=(200, 200),
                                 perturbation=['color', 'occ'])
 st = ds_tr[3]
