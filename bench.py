@@ -42,7 +42,10 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_2080TI = 6000.0  # documented estimate, see docstring
 _HERE = os.path.dirname(os.path.abspath(__file__))
 REF_CPU_CACHE = os.path.join(_HERE, "REF_CPU_BENCH.json")
-COMPILE_CACHE = os.path.join(_HERE, ".jax_bench_cache")
+# BENCH_COMPILE_CACHE overrides the cache dir (the CI smoke test points it
+# at a tmp dir so CPU-compiled entries never pollute the shipped cache)
+COMPILE_CACHE = os.environ.get("BENCH_COMPILE_CACHE",
+                               os.path.join(_HERE, ".jax_bench_cache"))
 
 
 def measure_reference_cpu(batch_size=1024, steps=None):
@@ -191,6 +194,12 @@ def main():
 
     _progress(f"budget {budget:.0f}s; importing jax")
     import jax
+
+    # BENCH_PLATFORM=cpu forces the CPU backend (for the CI smoke test —
+    # the axon sitecustomize ignores JAX_PLATFORMS, so this must go through
+    # jax.config BEFORE any backend use)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     # Persistent compilation cache: the axon remote-compile path costs
     # 30-400 s per program COLD but honors the cache (measured 412.8 s ->

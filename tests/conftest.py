@@ -48,6 +48,7 @@ SLOW_TESTS = {
     "test_frozen_poses_stay_frozen_and_used",
     "test_render_chunked_a_override_matches_direct",
     "test_fused_grads_match_xla",
+    "test_bench_smoke_emits_json",  # subprocess bench run, ~3 min CPU
 }
 
 
