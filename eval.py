@@ -292,12 +292,17 @@ def main(args):
             # rate is the honest pipeline number
             msg += f'; steady {float(np.mean(deltas[1:])):.2f} s/frame'
         # phase means exclude the first frame, whose drain carries the
-        # program compile on this remote-compile runtime
-        tail_i = 1 if len(phase_s["drain"]) > 1 else 0
-        msg += (f'; steady per-frame drain '
-                f'{float(np.mean(phase_s["drain"][tail_i:])):.2f} s, '
-                f'epilogue host '
-                f'{float(np.mean(phase_s["host"][tail_i:])):.2f} s')
+        # program compile on this remote-compile runtime; with a single
+        # frame there is nothing steady to report — label it honestly
+        if len(phase_s["drain"]) > 1:
+            msg += (f'; steady per-frame drain '
+                    f'{float(np.mean(phase_s["drain"][1:])):.2f} s, '
+                    f'epilogue host '
+                    f'{float(np.mean(phase_s["host"][1:])):.2f} s')
+        else:
+            msg += (f'; frame-1 drain (incl. compile) '
+                    f'{phase_s["drain"][0]:.2f} s, epilogue host '
+                    f'{phase_s["host"][0]:.2f} s')
         print(msg + ')', flush=True)
 
     if args.dataset_name == 'blender' or \

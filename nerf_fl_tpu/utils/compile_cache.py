@@ -13,6 +13,7 @@ NERF_FL_TPU_COMPILE_CACHE=<dir>.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional
 
 
@@ -35,5 +36,6 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         return path
     except Exception as e:  # never let caching break a run
-        print(f"[compile-cache] unavailable: {e}")
+        # stderr: bench.py's driver contract is ONE JSON line on stdout
+        print(f"[compile-cache] unavailable: {e}", file=sys.stderr)
         return None
