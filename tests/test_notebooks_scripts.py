@@ -20,6 +20,7 @@ import pytest
     "tools/gen_nerf_tsv.py",
     "tools/save_weights_only.py",
     "tools/build_native.py",
+    "tools/make_fixture.py",
     "tools/profile_trace.py",
     "prepare_phototourism.py",
     "train.py",
