@@ -14,11 +14,11 @@ fi
 
 # 2. b4096 plain vs --microbatch 4 (VERDICT r2 item 5 closure evidence)
 if [ ! -f $R3/bench_b4096_plain.log ]; then
-  BENCH_BATCH=4096 BENCH_DEVICE_POOL=0 BENCH_BUDGET_S=900 \
+  BENCH_COMPILE_CACHE=/tmp/bench_expt_cache BENCH_BATCH=4096 BENCH_DEVICE_POOL=0 BENCH_BUDGET_S=900 \
     timeout 1200 python bench.py > $R3/bench_b4096_plain.log 2>&1
 fi
 if [ ! -f $R3/bench_b4096_mb4.log ]; then
-  BENCH_BATCH=4096 BENCH_MICROBATCH=4 BENCH_DEVICE_POOL=0 BENCH_BUDGET_S=900 \
+  BENCH_COMPILE_CACHE=/tmp/bench_expt_cache BENCH_BATCH=4096 BENCH_MICROBATCH=4 BENCH_DEVICE_POOL=0 BENCH_BUDGET_S=900 \
     timeout 1200 python bench.py > $R3/bench_b4096_mb4.log 2>&1
 fi
 
