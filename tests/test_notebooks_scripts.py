@@ -146,3 +146,21 @@ def test_bench_smoke_emits_json(tmp_path):
     assert "b128" in res["metric"]
     assert res["vs_baseline"] > 0
     assert res["windows"]
+
+
+def test_make_fixture_cli_produces_loadable_scene(tmp_path):
+    """tools/make_fixture.py output must load through the real Blender
+    dataset (the README quickstart path)."""
+    root = str(tmp_path / "scene")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_fixture.py"),
+         root, "--train", "3", "--val", "1", "--test", "1",
+         "--size", "32", "--texture"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    from nerf_fl_tpu.data import dataset_dict
+    ds = dataset_dict["blender"](root, "train", img_wh=(32, 32))
+    assert len(ds.all_rays) == 3 * 32 * 32
+    val = dataset_dict["blender"](root, "val", img_wh=(32, 32))
+    s = val[0]
+    assert s["rays"].shape == (32 * 32, 8)
