@@ -47,6 +47,22 @@ def get_opts(argv=None):
     return parser.parse_args(argv)
 
 
+def max_split_ts(dataset, split: str) -> int:
+    """Largest embedding id the given split can emit, computed WITHOUT
+    loading any images (val/test_train samples are lazy)."""
+    if hasattr(dataset, 'img_ids'):  # phototourism: sparse COLMAP ids
+        if split == 'val':
+            return int(dataset.val_id)
+        if split == 'test_train':
+            return int(max(dataset.img_ids_train))
+        return int(dataset.test_appearance_idx)
+    # blender: val/test render with t=0; test_train uses the frame index.
+    # llff emits t=0 for every non-train split (data/llff.py __getitem__)
+    if split == 'test_train' and hasattr(dataset, 'meta'):
+        return len(dataset.meta['frames']) - 1
+    return 0
+
+
 def build_eval_state(args):
     """Params + config rebuilt from flags, each submodule loaded by name
     (reference eval.py:126-154)."""
@@ -87,6 +103,9 @@ def main(args):
     kwargs = {'root_dir': args.root_dir, 'split': args.split}
     if args.dataset_name == 'blender':
         kwargs['img_wh'] = tuple(args.img_wh)
+    elif args.dataset_name == 'llff':
+        kwargs['img_wh'] = tuple(args.img_wh)
+        kwargs['spheric_poses'] = args.spheric_poses
     else:
         kwargs['img_downscale'] = args.img_downscale
         kwargs['use_cache'] = args.use_cache
@@ -121,11 +140,12 @@ def main(args):
         # exist only for the cameras seen in training: phototourism indexes
         # them by tsv image order (valid for every split); for blender they
         # are per-TRAIN-frame, so only the test_train split may use them.
-        if args.dataset_name == 'blender' and args.split != 'test_train':
-            print('[eval] --refine_pose on blender applies only to '
-                  '--split test_train (learned poses are per-train-frame); '
-                  'ignoring the pose deltas (PE still anneals at the '
-                  'checkpoint epoch)')
+        if args.dataset_name in ('blender', 'llff') \
+                and args.split != 'test_train':
+            print(f'[eval] --refine_pose on {args.dataset_name} applies '
+                  'only to --split test_train (learned poses are '
+                  'per-train-frame); ignoring the pose deltas (PE still '
+                  'anneals at the checkpoint epoch)')
         elif 'learn_poses' in ckpt.get('state_dict', {}):
             from nerf_fl_tpu.models.poses import all_poses
             lp = jax.tree_util.tree_map(
@@ -157,6 +177,15 @@ def main(args):
                 'test-path poses are hard-coded per scene; only '
                 'brandenburg_gate is defined (reference eval.py:169-183)')
         render_kwargs['output_transient'] = False
+
+    if cfg.encode_a or cfg.encode_t:
+        # the same loud startup guard training runs (training/system.py):
+        # embedding_lookup is a jnp.take, which CLAMPS out-of-range ids, so
+        # an undersized --N_vocab would silently render every frame with the
+        # last embedding row instead of crashing like the reference's CUDA
+        # assert (reference README.md:124)
+        from nerf_fl_tpu.models.embeddings import validate_vocab
+        validate_vocab(args.N_vocab, max_split_ts(dataset, args.split))
 
     imgs, psnrs, ssims = [], [], []
     dir_name = f'results/{args.dataset_name}/{args.scene_name}'
@@ -236,50 +265,57 @@ def main(args):
 
     prev = None
     frame_marks = [time.perf_counter()]
-    for i, sample in enumerate(frames):
-        if args.dataset_name == 'blender':
-            w, h = args.img_wh
-        else:
-            w, h = (int(x) for x in sample['img_wh'])
+    # the frame loop owns two background resources (the frame prefetcher
+    # thread with queued device buffers, and the PNG writer pool); an
+    # exception mid-eval must release both, matching training's fit()
+    # finally (training/system.py) — the original exception propagates
+    try:
+        for i, sample in enumerate(frames):
+            if args.dataset_name == 'blender':
+                w, h = args.img_wh
+            else:
+                w, h = (int(x) for x in sample['img_wh'])
 
-        a_override = None
-        right_mask = None
-        if args.optimize_appearance and args.encode_a and 'rgbs' in sample:
-            from nerf_fl_tpu.render.appearance import optimize_appearance
-            # the left/right split derives pixel columns from ray index,
-            # which requires raster-ordered rays (row-major, all current
-            # datasets); any other order would silently fit and score on
-            # wrong pixel sets
-            assert len(sample['rays']) == w * h, \
-                f"raster-order assumption broken: {len(sample['rays'])} " \
-                f"rays != {w}x{h}"
-            cols = np.arange(len(sample['rays'])) % w
-            left = np.flatnonzero(cols < w // 2)
-            right_mask = cols >= w // 2
-            rng_np = np.random.default_rng(1000 + i)
-            sel = rng_np.choice(left, size=min(args.opt_a_rays, len(left)),
-                                replace=False)
-            a_override, fit_losses = optimize_appearance(
-                params, sample['rays'][sel], sample['ts'][sel],
-                sample['rgbs'][sel], cfg,
-                steps=args.opt_a_steps, lr=args.opt_a_lr)
-            print(f'[opt_a] frame {i}: fit mse '
-                  f'{float(fit_losses[0]):.4f} -> '
-                  f'{float(fit_losses[-1]):.4f}', flush=True)
+            a_override = None
+            right_mask = None
+            if args.optimize_appearance and args.encode_a and 'rgbs' in sample:
+                from nerf_fl_tpu.render.appearance import optimize_appearance
+                # the left/right split derives pixel columns from ray index,
+                # which requires raster-ordered rays (row-major, all current
+                # datasets); any other order would silently fit and score on
+                # wrong pixel sets
+                assert len(sample['rays']) == w * h, \
+                    f"raster-order assumption broken: {len(sample['rays'])} " \
+                    f"rays != {w}x{h}"
+                cols = np.arange(len(sample['rays'])) % w
+                left = np.flatnonzero(cols < w // 2)
+                right_mask = cols >= w // 2
+                rng_np = np.random.default_rng(1000 + i)
+                sel = rng_np.choice(left,
+                                    size=min(args.opt_a_rays, len(left)),
+                                    replace=False)
+                a_override, fit_losses = optimize_appearance(
+                    params, sample['rays'][sel], sample['ts'][sel],
+                    sample['rgbs'][sel], cfg,
+                    steps=args.opt_a_steps, lr=args.opt_a_lr)
+                print(f'[opt_a] frame {i}: fit mse '
+                      f'{float(fit_losses[0]):.4f} -> '
+                      f'{float(fit_losses[-1]):.4f}', flush=True)
 
-        finish = render_chunked_async(
-            params, sample['rays'], sample['ts'], cfg, chunk=chunk,
-            test_time=True, keys=wanted, mesh=mesh, a_override=a_override,
-            **render_kwargs)
+            finish = render_chunked_async(
+                params, sample['rays'], sample['ts'], cfg, chunk=chunk,
+                test_time=True, keys=wanted, mesh=mesh,
+                a_override=a_override, **render_kwargs)
+            if prev is not None:
+                process(prev)
+            prev = (i, sample, w, h, finish, right_mask)
         if prev is not None:
             process(prev)
-        prev = (i, sample, w, h, finish, right_mask)
-    if prev is not None:
-        process(prev)
-
-    for f in writes:
-        f.result()  # surface writer-thread errors
-    writer.shutdown()
+        for f in writes:
+            f.result()  # surface writer-thread errors
+    finally:
+        frames.close()
+        writer.shutdown(wait=True, cancel_futures=True)
 
     if len(frame_marks) > 1:
         deltas = np.diff(frame_marks)
@@ -305,7 +341,7 @@ def main(args):
                     f'{phase_s["host"][0]:.2f} s')
         print(msg + ')', flush=True)
 
-    if args.dataset_name == 'blender' or \
+    if args.dataset_name in ('blender', 'llff') or \
             (args.dataset_name == 'phototourism' and args.split == 'test'):
         path = os.path.join(dir_name, f'{args.scene_name}.{args.video_format}')
         try:

@@ -186,6 +186,16 @@ class LLFFDataset:
         self.all_rgbs = np.concatenate(rgb_list, 0)
         self.all_ts = np.concatenate(ts_list, 0)
 
+    def apply_refined_poses(self, poses_3x4: np.ndarray) -> None:
+        """Replace per-image poses with learned/refined ones (eval
+        --refine_pose on --split test_train; reference eval.py has no LLFF
+        support at all)."""
+        self.poses = np.asarray(poses_3x4, np.float32)[:, :3, :4]
+        if self.split.endswith("train") and hasattr(self, "poses_test"):
+            self.poses_test = self.poses
+        if self.split == "val":
+            self.c2w_val = self.poses[self.val_idx]
+
     def __len__(self):
         if self.split == "train":
             return len(self.all_rays)

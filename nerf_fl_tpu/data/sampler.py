@@ -50,7 +50,10 @@ class RayBatcher:
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         """Deterministic shuffle per epoch (torch DataLoader(shuffle=True)
         analog, but reproducible)."""
-        rng = np.random.default_rng(self.seed + epoch_idx)
+        # [seed, epoch] pair seeding (not seed+epoch, which collides across
+        # runs); MUST stay in lockstep with training.system.epoch_perm —
+        # the device-pool path draws this exact permutation
+        rng = np.random.default_rng([self.seed, epoch_idx])
         perm = rng.permutation(self.n)
         B = self.batch_size
         lo = self.host_index * B // self.host_count

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -33,11 +34,14 @@ def psnr(image_pred, image_gt, valid_mask: Optional[jnp.ndarray] = None,
     return -10.0 * jnp.log10(mse(image_pred, image_gt, valid_mask, reduction))
 
 
-def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)
+def _gaussian_window(size: int, sigma: float) -> np.ndarray:
+    """Computed host-side in float64 (it's a tiny compile-time constant):
+    f32 coefficient error (~1e-8) is amplified up to 1/C2 ~ 1e3 through the
+    variance terms in near-flat patches — enough to move SSIM by ~2e-5."""
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / np.sum(g)
+    return np.outer(g, g)  # callers cast to the compute dtype
 
 
 def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +66,11 @@ def ssim(image_pred, image_gt, window_size: int = 3, reduction: str = "mean",
     """
     C1 = (0.01 * max_val) ** 2
     C2 = (0.03 * max_val) ** 2
-    window = _gaussian_window(window_size, 1.5)
+    image_pred = jnp.asarray(image_pred)
+    image_gt = jnp.asarray(image_gt, image_pred.dtype)
+    # window in the images' dtype (f64 inputs under enable_x64 must stay f64
+    # end to end — the golden-value test runs the formula at full precision)
+    window = _gaussian_window(window_size, 1.5).astype(image_pred.dtype)
 
     mu1 = _filter2d(image_pred, window)
     mu2 = _filter2d(image_gt, window)

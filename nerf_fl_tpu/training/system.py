@@ -173,9 +173,8 @@ def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
     def step(params, opt_state, batch, lr, epoch, rng):
         grads, loss, loss_d, mse = grads_of(params, batch, epoch, rng)
         grads = mask_updates(grads, trainable_mask)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates, new_opt_state = tx.update(grads, opt_state, params, lr)
         updates = mask_updates(updates, trainable_mask)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(params, updates)
 
         psnr = -10.0 * jnp.log10(mse)
@@ -266,7 +265,7 @@ def fold_in_range(base, start, k: int):
 def epoch_perm(seed: int, epoch: int, n_pool: int,
                n_padded: int) -> np.ndarray:
     """Per-epoch batch order for the device pool: the SAME permutation the
-    host-fed RayBatcher draws (``np.random.default_rng(seed + epoch)``,
+    host-fed RayBatcher draws (``np.random.default_rng([seed, epoch])``,
     data/sampler.py), so the device-pool, host-fed, and multihost data
     paths train batch-for-batch identically for a given seed — a run's
     trajectory must not depend on which data path the process topology
@@ -276,7 +275,10 @@ def epoch_perm(seed: int, epoch: int, n_pool: int,
     Host-side numpy on purpose: one O(n_pool) shuffle per EPOCH amortizes
     to ~4 bytes/ray of upload vs the host-fed path's ~52 bytes/ray every
     step."""
-    perm = np.random.default_rng(seed + epoch).permutation(n_pool) \
+    # seeded as the PAIR [seed, epoch] (a SeedSequence entropy list), not
+    # seed+epoch: the sum made streams collide across runs (seed 0/epoch 1
+    # drew the same permutation as seed 1/epoch 0)
+    perm = np.random.default_rng([seed, epoch]).permutation(n_pool) \
         .astype(np.int32)
     if n_padded <= n_pool:
         return perm[:n_padded]
@@ -601,16 +603,24 @@ class NeRFSystem:
     # -- datasets ------------------------------------------------------
     def setup(self):
         h = self.hparams
+        # --pose_noise needs the learned-pose (camdir) ray path even with
+        # refinement OFF: the noisy-no-refine control arm of the BARF
+        # recovery protocol trains on noisy poses with frozen deltas
+        noise_on = any(getattr(h, "pose_noise", (0.0, 0.0)))
         kwargs = {"root_dir": h.root_dir}
         if h.dataset_name == "phototourism":
             kwargs["img_downscale"] = h.img_downscale
             kwargs["val_num"] = h.num_gpus
             kwargs["use_cache"] = h.use_cache
-            kwargs["refine_pose"] = h.refine_pose
+            kwargs["refine_pose"] = h.refine_pose or noise_on
         elif h.dataset_name == "blender":
             kwargs["img_wh"] = tuple(h.img_wh)
             kwargs["perturbation"] = h.data_perturb
-            kwargs["refine_pose"] = h.refine_pose
+            kwargs["refine_pose"] = h.refine_pose or noise_on
+        elif h.dataset_name == "llff":
+            kwargs["img_wh"] = tuple(h.img_wh)
+            kwargs["spheric_poses"] = h.spheric_poses
+            kwargs["val_num"] = h.num_gpus
         self.train_dataset = dataset_dict[h.dataset_name](split="train", **kwargs)
         self.val_dataset = dataset_dict[h.dataset_name](split="val", **kwargs)
 
@@ -626,6 +636,27 @@ class NeRFSystem:
         init_c2w = np.concatenate(
             [poses, np.tile(np.array([[[0, 0, 0, 1]]], np.float32),
                             (len(poses), 1, 1))], axis=1)
+        self.true_poses = init_c2w
+        rot_deg, trans_frac = getattr(h, "pose_noise", (0.0, 0.0))
+        if rot_deg or trans_frac:
+            # BARF recovery harness: seeded SE(3) noise on the INIT poses,
+            # exactly representable by the learned deltas; the clean poses
+            # stay in self.true_poses for pose_errors() reporting.  Only
+            # meaningful on the learned-pose ray path (camdir), where
+            # training rays are posed from learn_poses on device.
+            if self.ray_format != "camdir":
+                raise ValueError(
+                    "--pose_noise requires the learned-pose ray path "
+                    "(camdir); this dataset baked world-space rays that "
+                    "would silently ignore the noisy poses")
+            from ..models.poses import perturb_poses
+            init_c2w = perturb_poses(init_c2w, rot_deg, trans_frac,
+                                     seed=getattr(h, "pose_noise_seed", 0))
+            from ..models.poses import pose_errors
+            r0, t0 = pose_errors(init_c2w, self.true_poses)
+            print(f"[pose_noise] injected rot {r0:.3f} deg / "
+                  f"trans {t0:.4f} (aligned means over "
+                  f"{len(init_c2w)} cams)", flush=True)
         self.init_poses = init_c2w
         ids = getattr(self.train_dataset, "img_ids", list(range(len(poses))))
         self.id_to_cam = None

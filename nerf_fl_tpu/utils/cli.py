@@ -22,8 +22,11 @@ _SHARED = [
     ("--root_dir", dict(type=str, required=True,
                         help="dataset root folder"), {}),
     ("--dataset_name", dict(type=str, default="blender",
-                            choices=["blender", "phototourism"],
-                            help="dataset family"), {}),
+                            choices=["blender", "phototourism", "llff"],
+                            help="dataset family (llff is CLI-reachable "
+                                 "here, unlike the reference whose LLFF "
+                                 "loader is vestigial — opt.py:8-10, "
+                                 "datasets/llff.py)"), {}),
     ("--img_wh", dict(nargs="+", type=int, default=[800, 800],
                       help="image resolution as WIDTH HEIGHT"), {}),
     ("--img_downscale", dict(type=int, default=1,
@@ -31,6 +34,10 @@ _SHARED = [
     ("--use_cache", dict(default=False, action="store_true",
                          help="load the prepare_phototourism.py ray cache "
                               "(its img_downscale must match)"), {}),
+    ("--spheric_poses", dict(default=False, action="store_true",
+                             help="llff only: inward-facing capture — "
+                                  "sample in world depth with a spheric "
+                                  "test path instead of NDC + spiral"), {}),
 
     # core NeRF sampling/encoding
     ("--N_emb_xyz", dict(type=int, default=10,

@@ -20,6 +20,19 @@ def get_parser():
                              '(per-image color jitter) and "occ" (random '
                              'occluder stripes); empty for clean data')
 
+    # BARF evaluation harness: inject seeded SE(3) noise into the INITIAL
+    # camera poses so --refine_pose has a known error to recover (the
+    # pose-noise -> recovery protocol of the BARF paper sec. 5; no
+    # reference equivalent — its pose refinement ships untested)
+    parser.add_argument('--pose_noise', nargs=2, type=float, default=[0, 0],
+                        metavar=('ROT_DEG', 'TRANS_FRAC'),
+                        help='per-camera init-pose noise: rotation sigma in '
+                             'degrees and translation sigma as a fraction '
+                             'of the camera distance; the clean poses are '
+                             'kept for error reporting '
+                             '(models/poses.py pose_errors)')
+    parser.add_argument('--pose_noise_seed', type=int, default=0)
+
     # train-time sampling stochasticity (eval always renders perturb=0,
     # noise_std=0, matching reference eval.py test_time semantics)
     parser.add_argument('--perturb', type=float, default=1.0,

@@ -33,6 +33,7 @@ SLOW_MODULES = {
     "test_multihost",        # spawns 2-process jax.distributed jobs
     "test_reproducibility",  # trains twice per test for bitwise checks
     "test_graft_entry",      # subprocess dryruns with fresh JAX startups
+    "test_barf_recovery",    # three training arms for the BARF protocol
 }
 
 SLOW_TESTS = {
@@ -49,6 +50,8 @@ SLOW_TESTS = {
     "test_render_chunked_a_override_matches_direct",
     "test_fused_grads_match_xla",
     "test_bench_smoke_emits_json",  # subprocess bench run, ~3 min CPU
+    "test_scale_stress_machinery",  # cache build + train window + val
+    "test_quality_gate_smoke_preset",  # 7 train arms + 8 evals, ~5 min
 }
 
 

@@ -14,22 +14,8 @@ from tests.fixtures import _look_at_pose, _render_ball
 @pytest.fixture(scope="module")
 def llff_scene(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("llff_mini"))
-    os.makedirs(os.path.join(root, "images"))
-    n, w, h = 5, 40, 30
-    focal = 45.0
-    rows = []
-    rng = np.random.default_rng(0)
-    for i in range(n):
-        # nearly-forward-facing cluster (LLFF capture style)
-        c2w = _look_at_pose(0.12 * i - 0.3, radius=4.0, height=0.3)
-        img = _render_ball(max(w, h), c2w, focal)[:h, :w, :3]
-        Image.fromarray(img).save(os.path.join(root, f"images/im_{i:02d}.png"))
-        # re-encode as LLFF "down right back": columns [-y, x, z]
-        m = np.concatenate([-c2w[:3, 1:2], c2w[:3, 0:1], c2w[:3, 2:4]], 1)
-        hwf = np.array([[h], [w], [focal]])
-        rows.append(np.concatenate(
-            [np.concatenate([m, hwf], 1).reshape(-1), [2.0, 9.0]]))
-    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(rows))
+    from tests.fixtures import make_llff_scene
+    make_llff_scene(root, n_images=5, width=40, height=30, focal=45.0)
     return root
 
 

@@ -114,4 +114,3 @@ def test_learn_pose_delta_composition():
                                [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6)
     np.testing.assert_allclose(poses[0][:3, 3], [1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(poses[1], np.eye(4), atol=1e-6)
-

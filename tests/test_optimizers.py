@@ -28,8 +28,8 @@ def run_steps(h, steps=5, lr=1e-1):
     traj = []
     for _ in range(steps):
         g = jax.tree_util.tree_map(lambda v: 2 * v, x)
-        u, state = tx.update(g, state, x)
-        x = jax.tree_util.tree_map(lambda p, d: p - lr * d, x, u)
+        d, state = tx.update(g, state, x, lr)
+        x = jax.tree_util.tree_map(lambda p, u: p + u, x, d)
         traj.append(np.asarray(x["w"]))
     return traj
 
@@ -137,3 +137,132 @@ def test_trainable_mask_freezes_poses():
     masked = mask_updates(upd, m)
     assert float(masked["learn_poses"]["r"].sum()) == 0.0
     assert float(masked["nerf_coarse"]["xyz"][0]["w"].sum()) == 4.0
+
+
+# ----------------------------------------------------------------------
+# RAdam / Ranger lockstep oracles (VERDICT r3 missing #2).
+#
+# torch_optimizer is not installed in this image, so the oracle below
+# implements the published torch_optimizer/pytorch_ranger step rule in
+# plain NumPy float64 (radam.py step(); pytorch_ranger ranger.py step()),
+# and build_optimizer is run under jax.enable_x64 so any mismatch is a
+# formula divergence, not roundoff.  Divergences found and fixed this way:
+# the round-3 lookahead composed BEFORE the lr scaling (wrong sync point),
+# weight decay was L2-into-grad instead of decoupled, and
+# optax.scale_by_radam's eps sits on sqrt(nu_hat) instead of sqrt(nu)
+# (documented in docs/PARITY.md; we now use scale_by_radam_torch).
+# ----------------------------------------------------------------------
+
+def _torch_radam_ranger_oracle(params, grad_fn, lr, steps, betas,
+                               eps=1e-8, wd=0.0, strict=False,
+                               lookahead_k=None, la_alpha=0.5, use_gc=False):
+    """NumPy float64 lockstep of torch_optimizer.RAdam / pytorch_ranger.
+
+    params: dict name -> np.ndarray.  Layout convention: leaves named 'w'
+    are OUR (fan_in, fan_out) dense kernels — the oracle transposes them to
+    torch's (out, in) before gradient centralization, exactly simulating
+    what torch would do, then transposes back.
+    """
+    b1, b2 = betas
+    p = {k: v.astype(np.float64).copy() for k, v in params.items()}
+    m = {k: np.zeros_like(v) for k, v in p.items()}
+    v2 = {k: np.zeros_like(vv) for k, vv in p.items()}
+    slow = {k: vv.copy() for k, vv in p.items()}
+    n_sma_max = 2.0 / (1.0 - b2) - 1.0
+    traj = []
+    for t in range(1, steps + 1):
+        grads = grad_fn(p)
+        for k in p:
+            g = grads[k].astype(np.float64)
+            if use_gc and g.ndim > 1:
+                gt = g.T if k == "w" else g  # torch layout
+                gt = gt - gt.mean(axis=tuple(range(1, gt.ndim)),
+                                  keepdims=True)
+                g = gt.T if k == "w" else gt
+            m[k] = b1 * m[k] + (1 - b1) * g
+            v2[k] = b2 * v2[k] + (1 - b2) * g * g
+            b2t = b2 ** t
+            n_sma = n_sma_max - 2.0 * t * b2t / (1.0 - b2t)
+            rect = n_sma > 5.0 if strict else n_sma >= 5.0
+            if wd != 0.0:
+                p[k] = p[k] - wd * lr * p[k]
+            if rect:
+                step_size = lr * np.sqrt(
+                    (1 - b2t) * (n_sma - 4) / (n_sma_max - 4)
+                    * (n_sma - 2) / n_sma
+                    * n_sma_max / (n_sma_max - 2)) / (1 - b1 ** t)
+                p[k] = p[k] - step_size * m[k] / (np.sqrt(v2[k]) + eps)
+            else:
+                p[k] = p[k] - lr / (1 - b1 ** t) * m[k]
+            if lookahead_k and t % lookahead_k == 0:
+                slow[k] = slow[k] + la_alpha * (p[k] - slow[k])
+                p[k] = slow[k].copy()
+        traj.append({k: vv.copy() for k, vv in p.items()})
+    return traj
+
+
+def _run_ours_x64(h, params0, grad_fn, lr, steps):
+    with jax.enable_x64():
+        tx = build_optimizer(h)
+        x = {k: jnp.asarray(v, jnp.float64) for k, v in params0.items()}
+        state = tx.init(x)
+        traj = []
+        for _ in range(steps):
+            g = {k: jnp.asarray(v, jnp.float64)
+                 for k, v in grad_fn(
+                     {k: np.asarray(v) for k, v in x.items()}).items()}
+            d, state = tx.update(g, state, x, lr)
+            x = jax.tree_util.tree_map(lambda p, u: p + u, x, d)
+            traj.append({k: np.asarray(v) for k, v in x.items()})
+    return traj
+
+
+def _quad_grads(p):
+    """f = sum over leaves of sum((x - c)^2) with distinct per-leaf offsets
+    so gradients are non-trivially structured (2-D 'w' exercises GC)."""
+    return {k: 2.0 * (v - (0.1 * (i + 1)))
+            for i, (k, v) in enumerate(sorted(p.items()))}
+
+
+def _oracle_params():
+    rng = np.random.default_rng(3)
+    return {"w": rng.normal(0, 1, (4, 3)),   # our (in, out) dense layout
+            "b": rng.normal(0, 1, (3,)),
+            "emb": rng.normal(0, 1, (5, 2))}  # torch-layout (V, D) table
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_radam_matches_torch_optimizer_oracle(wd):
+    """20-step float64 lockstep vs the torch_optimizer.RAdam rule,
+    spanning the un-rectified (rho < 5, momentum-SGD) and rectified
+    regimes, with decoupled weight decay."""
+    params0 = _oracle_params()
+    lr, steps = 1e-2, 20
+    h = hp(optimizer="radam", weight_decay=wd)
+    ours = _run_ours_x64(h, params0, _quad_grads, lr, steps)
+    want = _torch_radam_ranger_oracle(
+        params0, _quad_grads, lr, steps, betas=(0.9, 0.999), wd=wd)
+    for t, (a, b) in enumerate(zip(ours, want)):
+        for k in params0:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-12,
+                                       err_msg=f"step {t} leaf {k}")
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_ranger_matches_pytorch_ranger_oracle(wd):
+    """20-step float64 lockstep vs the pytorch_ranger rule: RAdam core at
+    betas (0.95, 0.999) with STRICT rho > 5 rectification, gradient
+    centralization on >=2-D leaves (axis translated for our transposed
+    dense layout), decoupled wd, and lookahead sync every 6 steps —
+    3 syncs in 20 steps."""
+    params0 = _oracle_params()
+    lr, steps = 1e-2, 20
+    h = hp(optimizer="ranger", weight_decay=wd)
+    ours = _run_ours_x64(h, params0, _quad_grads, lr, steps)
+    want = _torch_radam_ranger_oracle(
+        params0, _quad_grads, lr, steps, betas=(0.95, 0.999), wd=wd,
+        strict=True, lookahead_k=6, use_gc=True)
+    for t, (a, b) in enumerate(zip(ours, want)):
+        for k in params0:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-12,
+                                       err_msg=f"step {t} leaf {k}")

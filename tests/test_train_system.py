@@ -286,6 +286,10 @@ def test_epoch_perm_matches_ray_batcher_order():
         pm = epoch_perm(seed, epoch, n, n)
         for j, b in enumerate(batcher.epoch(epoch)):
             np.testing.assert_array_equal(b["ts"], pm[j * B:(j + 1) * B])
+    # streams must be decorrelated ACROSS runs too: the old seed+epoch
+    # seeding made (seed=0, epoch=1) draw the same permutation as
+    # (seed=1, epoch=0)
+    assert not np.array_equal(epoch_perm(0, 1, n, n), epoch_perm(1, 0, n, n))
 
 
 def test_val_chunk_cap_shared_between_train_and_eval():

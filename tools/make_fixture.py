@@ -14,7 +14,7 @@ import sys
 from argparse import ArgumentParser
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                os.pardir, "tests"))
+                                os.pardir))
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
                         "static/appearance decomposition, docs/QUALITY.md)")
     args = p.parse_args()
 
-    from fixtures import make_blender_scene
+    from nerf_fl_tpu.data.synthetic import make_blender_scene
     make_blender_scene(args.root, n_train=args.train, n_val=args.val,
                        n_test=args.test, size=args.size,
                        texture=args.texture)
