@@ -157,6 +157,9 @@ def _finalize(rays_per_sec, spe, windows, note=None):
         "windows": [round(r, 1) for r in windows],
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_2080TI, 2),
         "baseline_note": "vs documented 2080Ti estimate (6000 rays/s)",
+        # wall ms per OPTIMIZER step (b rays each); device_step_ms (traced,
+        # stage 4) is the honest regression metric — wall includes tunnel
+        "wall_step_ms": round(1000.0 * b / rays_per_sec, 3),
     }
     if note:
         result["note"] = note
@@ -291,6 +294,13 @@ def main():
             if spe == 1:
                 return step(params, opt_state, batch, lr, ep, ks)
             return step(params, opt_state, batch, lr, ep, ks, valid)
+
+        def lower_one(params, opt_state, item):  # for stage-4 cost analysis
+            batch, ks = item
+            if spe == 1:
+                return step.lower(params, opt_state, batch, lr, ep, ks)
+            return step.lower(params, opt_state, batch, lr, ep, ks, valid)
+        run_one.lower = lower_one
         return run_one
 
     def warmup(run_one, spe):
@@ -431,6 +441,81 @@ def main():
                         data_path="device_pool")
         except Exception as e:
             _progress(f"stage 3 failed ({e}); keeping earlier result")
+
+    # ---- stage 4: device-time attribution + MFU of the winning program ----
+    # Wall clock through the tunnel is weather-dependent; the traced
+    # device-op total is the honest per-program metric (docs/PERF.md).
+    # Embedding it in the artifact lets future rounds detect DEVICE-time
+    # regressions even when the tunnel swings the wall number.
+    if (os.environ.get("BENCH_TRACE", "1") != "0"
+            and _BEST["result"] is not None and time_left() > 40):
+        try:
+            import tempfile
+
+            from nerf_fl_tpu.utils.profiling import attributed_device_us
+            data_path, spe_win = _BEST["stage"]
+            res = _BEST["result"]
+            trace_dir = os.environ.get("BENCH_TRACE_DIR") or \
+                tempfile.mkdtemp(prefix="bench_trace_")
+            _progress(f"stage 4: tracing winner ({data_path}, K={spe_win})")
+            flops_group = None
+
+            def _flops(lowered):
+                try:
+                    ca = lowered.cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    return float(ca.get("flops", 0)) or None
+                except Exception:
+                    return None  # estimate only; fine to omit
+
+            if data_path == "device_pool":
+                steps_per_group = spe_pool
+                n_groups = max(1, 64 // spe_pool)
+                flops_group = _flops(stepP.lower(
+                    paramsP, opt_stateP, pool, perm, jnp.int32(0),
+                    jnp.uint32(0), n_steps_j, lr, ep, key))
+                with jax.profiler.trace(trace_dir):
+                    for g in range(n_groups):
+                        paramsP, opt_stateP, m = stepP(
+                            paramsP, opt_stateP, pool, perm,
+                            jnp.int32(g * spe_pool),
+                            jnp.uint32(10 ** 6 + g * spe_pool), n_steps_j,
+                            lr, ep, key)
+                    float(np.asarray(m["train/loss"]).reshape(-1)[-1])
+            else:
+                runner = run1 if spe_win == 1 else runk
+                steps_per_group = spe_win
+                n_groups = max(1, 24 // spe_win)
+                flops_group = _flops(runner.lower(
+                    params, opt_state, get_group(10 ** 6, spe_win)))
+                with jax.profiler.trace(trace_dir):
+                    for g in range(n_groups):
+                        params, opt_state, m = runner(
+                            params, opt_state,
+                            get_group(10 ** 6 + g * spe_win, spe_win))
+                    float(np.asarray(m["train/loss"]).reshape(-1)[-1])
+            nsteps = n_groups * steps_per_group
+            dev = attributed_device_us(trace_dir)
+            if dev["n_ops"]:
+                res["device_step_ms"] = round(
+                    dev["total_us"] / 1e3 / nsteps, 3)
+                res["device_frac_of_wall"] = round(
+                    res["device_step_ms"] / res["wall_step_ms"], 3)
+                _progress(f"stage 4: device {res['device_step_ms']} ms/step "
+                          f"({res['device_frac_of_wall']:.0%} of wall)")
+            if flops_group:
+                flops_step = flops_group / steps_per_group
+                res["flops_per_step_est"] = round(flops_step)
+                if jax.devices()[0].platform != "cpu" and \
+                        res.get("device_step_ms"):
+                    # v5e peak 197 TFLOP/s bf16; estimate from the
+                    # UNOPTIMIZED lowered HLO's cost model
+                    res["mfu_pct_est"] = round(
+                        100.0 * flops_step / (res["device_step_ms"] * 1e-3)
+                        / 197e12, 1)
+        except Exception as e:
+            _progress(f"stage 4 failed ({e}); artifact keeps wall metrics")
 
     # ---- comparator + emit -------------------------------------------------
     if time_left() > 120 and (not os.path.exists(REF_CPU_CACHE)

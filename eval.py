@@ -82,7 +82,9 @@ def build_eval_state(args):
         use_pallas={"auto": None, "on": True,
                     "off": False}[getattr(args, "use_pallas", "auto")],
         fast_trig={"auto": None, "on": True,
-                   "off": False}[getattr(args, "fast_trig", "auto")])
+                   "off": False}[getattr(args, "fast_trig", "auto")],
+        mlp_depth=getattr(args, "mlp_depth", 8),
+        mlp_width=getattr(args, "mlp_width", 256))
 
     params = build_params(jax.random.PRNGKey(0), cfg, args.N_vocab)
     for name in list(params):
@@ -92,6 +94,8 @@ def build_eval_state(args):
 
 def main(args):
     from nerf_fl_tpu.utils.compile_cache import enable_compile_cache
+    from nerf_fl_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     enable_compile_cache()
     import imageio
     import jax

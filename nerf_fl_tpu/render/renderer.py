@@ -56,6 +56,11 @@ class RenderConfig:
     compute_dtype: str = "float32"  # "bfloat16" on the perf path
     use_pallas: Optional[bool] = None  # None = auto (on when running on TPU)
     fast_trig: Optional[bool] = None  # None = auto (polynomial PE on bf16)
+    # Field MLP size.  The reference hardcodes D=8/W=256 at its call sites
+    # but they are constructor args (nerf.py:81-86); exposed here so small
+    # configs (CI quality gate, capacity studies) stay on the same code path.
+    mlp_depth: int = 8
+    mlp_width: int = 256
 
     @property
     def use_fast_trig(self) -> bool:
@@ -74,6 +79,9 @@ class RenderConfig:
     def nerf_config(self, typ: str) -> NeRFConfig:
         return NeRFConfig(
             typ=typ,
+            D=self.mlp_depth,
+            W=self.mlp_width,
+            skips=(self.mlp_depth // 2,),
             in_channels_xyz=self.in_channels_xyz,
             in_channels_dir=self.in_channels_dir,
             encode_appearance=self.encode_a,

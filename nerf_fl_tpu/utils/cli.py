@@ -114,6 +114,13 @@ _SHARED = [
                          choices=["auto", "on", "off"],
                          help="polynomial PE sin/cos, error ~1e-6 "
                               "(auto = on for bfloat16 compute)"), {}),
+    ("--mlp_depth", dict(type=int, default=8,
+                         help="field MLP trunk depth D (reference "
+                              "nerf.py:81 constructor arg, hardcoded 8 at "
+                              "its call sites; skip connection at D//2)"), {}),
+    ("--mlp_width", dict(type=int, default=256,
+                         help="field MLP hidden width W (reference "
+                              "nerf.py:82, hardcoded 256)"), {}),
 ]
 
 # --steps_per_execution is deliberately train-only: it folds K OPTIMIZER

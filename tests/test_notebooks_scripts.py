@@ -22,6 +22,8 @@ import pytest
     "tools/build_native.py",
     "tools/make_fixture.py",
     "tools/profile_trace.py",
+    "tools/quality_gate.py",
+    "tools/scale_stress.py",
     "prepare_phototourism.py",
     "train.py",
     "eval.py",
@@ -146,6 +148,16 @@ def test_bench_smoke_emits_json(tmp_path):
     assert "b128" in res["metric"]
     assert res["vs_baseline"] > 0
     assert res["windows"]
+    # audit schema (VERDICT r3 item 9): wall step ms always present and
+    # consistent with the rate; traced device fields only when the trace
+    # stage succeeded on this backend (then they must be sane)
+    assert res["wall_step_ms"] > 0
+    assert abs(res["wall_step_ms"] - 1000 * 128 / res["value"]) < 1e-6
+    if "device_step_ms" in res:
+        assert res["device_step_ms"] > 0
+        assert res["device_frac_of_wall"] > 0
+    if "mfu_pct_est" in res:
+        assert 0 < res["mfu_pct_est"] <= 100
 
 
 def test_make_fixture_cli_produces_loadable_scene(tmp_path):

@@ -1,0 +1,107 @@
+"""tools/quality_gate.py — the one-command quality regression gate.
+
+The gate mirrors the reference README's result table (reference
+README.md:141-173) as executable assertions; these tests pin (a) the
+ordering/margin logic as a pure function and (b) the full pipeline
+end to end at machinery scale (the `smoke` preset: every arm trains,
+both NeRF-W eval conventions run, artifacts are written).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import quality_gate  # noqa: E402
+
+
+MARGINS = {"color_nerfa_vs_nerf": 1.0, "occ_nerfu_vs_nerf": 4.0,
+           "co_nerfw_opta_vs_nerf": 3.0, "clean_minus_best": -0.5}
+
+
+def _psnr(**over):
+    base = {"clean": 25.0, "color_nerf": 21.0, "color_nerfa": 23.0,
+            "occ_nerf": 18.0, "occ_nerfu": 23.5, "co_nerf": 17.0,
+            "co_nerfw": 16.0, "co_nerfw_opta": 22.0}
+    base.update(over)
+    return base
+
+
+def test_check_orderings_all_pass():
+    checks = quality_gate.check_orderings(_psnr(), MARGINS)
+    assert len(checks) == 6
+    assert all(c["pass"] for c in checks)
+
+
+def test_check_orderings_catches_margin_violation():
+    # NeRF-A only +0.5 over plain NeRF on color data; required +1.0
+    checks = quality_gate.check_orderings(_psnr(color_nerfa=21.5), MARGINS)
+    bad = [c for c in checks if not c["pass"]]
+    assert [c["check"] for c in bad] == ["color_nerfa_gt_nerf"]
+    assert bad[0]["margin"] == 0.5
+
+
+def test_check_orderings_catches_offcanvas_occluder():
+    # round 3's first fixture bug: occlusion perturbation landed off-canvas
+    # so occ arms matched clean bitwise — the sanity check must fail
+    checks = quality_gate.check_orderings(
+        _psnr(occ_nerf=25.0, occ_nerfu=25.0), MARGINS)
+    assert not [c for c in checks if c["check"] == "occ_hurts_nerf"][0]["pass"]
+
+
+def test_report_only_margins_never_gate():
+    """None margins (the quick preset's head-vs-control checks) are
+    recorded but cannot fail the gate — CPU scale can't reproduce the
+    science margins (docs/QUALITY.md), so quick only observes them."""
+    m = dict(MARGINS, color_nerfa_vs_nerf=None)
+    checks = quality_gate.check_orderings(_psnr(color_nerfa=19.0), m)
+    c = [c for c in checks if c["check"] == "color_nerfa_gt_nerf"][0]
+    assert c["pass"] is True and c["gated"] is False
+    assert c["margin"] == -2.0  # still honestly reported
+    md = quality_gate.markdown_table(_psnr(color_nerfa=19.0), checks, "quick")
+    assert "| report |" in md
+
+
+def test_markdown_table_lists_all_arms():
+    checks = quality_gate.check_orderings(_psnr(), MARGINS)
+    md = quality_gate.markdown_table(_psnr(), checks, "quick")
+    assert "NeRF-W (optimize_appearance)" in md
+    assert "NeRF-W (raw a_id=0)" in md  # reported, never gated on
+    assert md.count("| PASS |") == 6
+
+
+def test_quality_gate_smoke_preset(tmp_path):
+    """Full pipeline at machinery scale: 7 train arms + 8 evals through
+    the public CLIs on the CPU backend, resume-safe artifacts written."""
+    out = tmp_path / "QUALITY_GATE.json"
+    ws = tmp_path / "ws"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "quality_gate.py"),
+         "--preset", "smoke", "--workdir", str(ws), "--out", str(out),
+         "--arm_timeout", "600"],
+        capture_output=True, text=True, timeout=3000, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    res = json.loads(out.read_text())
+    assert res["pass"] is True  # smoke margins are sentinels
+    assert set(res["psnr"]) == {
+        "clean", "color_nerf", "color_nerfa", "occ_nerf", "occ_nerfu",
+        "co_nerf", "co_nerfw", "co_nerfw_opta"}
+    assert all(v > 5 for v in res["psnr"].values())
+    assert len(res["checks"]) == 6
+    assert (ws / "QUALITY_GATE.md").exists()
+    # resume contract: a second run must skip all training and eval
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "quality_gate.py"),
+         "--preset", "smoke", "--workdir", str(ws), "--out", str(out),
+         "--arm_timeout", "60"],
+        capture_output=True, text=True, timeout=300, cwd=REPO)
+    assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
+    assert "checkpoint exists, skipping" in r2.stdout
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-v"]))

@@ -60,3 +60,26 @@ def test_save_weights_only(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded["xyz"][0]["w"]),
         np.asarray(params["nerf_coarse"]["xyz"][0]["w"]))
+
+
+def test_scale_stress_machinery(tmp_path):
+    """tools/scale_stress.py end to end at the smoke preset: synthetic
+    COLMAP scene with three distinct camera resolutions -> ray cache ->
+    --use_cache training -> per-image-K val render, artifact written.
+    (The brandenburg-shaped `full` preset is the device run recorded in
+    docs/PERF.md; this pins the machinery.)"""
+    import json
+
+    out = tmp_path / "SCALE_STRESS.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/scale_stress.py"),
+         "--preset", "smoke", "--workdir", str(tmp_path / "ws"),
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    res = json.loads(out.read_text())
+    assert res["cache_build_s"] > 0
+    assert res["train_wall_s"] > 0
+    assert res["train_peak_rss_mb"] > 0
+    assert res["train_rays_per_sec"] and res["train_rays_per_sec"] > 0
+    assert res["eval_psnr"] is not None and res["eval_psnr"] > 5

@@ -12,6 +12,8 @@ from nerf_fl_tpu.training.system import NeRFSystem
 
 def main(hparams):
     from nerf_fl_tpu.utils.compile_cache import enable_compile_cache
+    from nerf_fl_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     enable_compile_cache()
     if getattr(hparams, "num_hosts", 1) > 1:
         # must run before any JAX backend use (parallel/multihost.py)
