@@ -79,6 +79,9 @@ def build_eval_state(args):
         encode_t=args.encode_t, N_tau=args.N_tau,
         beta_min=args.beta_min, compute_dtype=args.compute_dtype,
         refine_pose=getattr(args, 'refine_pose', False),
+        barf_schedule=getattr(args, 'barf_schedule', 'fork'),
+        barf_epoch_start=getattr(args, 'barf_epochs', [4, 8])[0],
+        barf_epoch_end=getattr(args, 'barf_epochs', [4, 8])[1],
         use_pallas={"auto": None, "on": True,
                     "off": False}[getattr(args, "use_pallas", "auto")],
         fast_trig={"auto": None, "on": True,

@@ -96,11 +96,20 @@ def posenc(x: jnp.ndarray, N_freqs: int, *, max_logscale: int | None = None,
     return jnp.concatenate([x, sc], axis=-1)
 
 
-def barf_alpha(epoch, N_freqs: int, epoch_start: int, epoch_end: int):
-    """BARF annealing progress, matching the fork's (unusual) schedule at
-    reference nerf.py:47-52: alpha = N_freqs/epoch inside (start, end],
-    N_freqs after end, 0 before.  ``epoch`` may be a traced scalar."""
+def barf_alpha(epoch, N_freqs: int, epoch_start: int, epoch_end: int,
+               schedule: str = "fork"):
+    """BARF annealing progress.  ``epoch`` may be a traced scalar.
+
+    schedule="fork" matches the reference's (unusual) rule at nerf.py:47-52:
+    alpha = N_freqs/epoch inside (start, end], N_freqs after end, 0 before.
+    schedule="paper" is BARF eq. 14: alpha ramps linearly 0 -> N_freqs over
+    [start, end] in epoch units.
+    """
     epoch = jnp.asarray(epoch, jnp.float32)
+    if schedule == "paper":
+        prog = jnp.clip((epoch - epoch_start)
+                        / max(epoch_end - epoch_start, 1e-8), 0.0, 1.0)
+        return prog * float(N_freqs)
     mid = N_freqs / jnp.maximum(epoch, 1e-8)
     return jnp.where(
         epoch > epoch_end,
@@ -110,16 +119,33 @@ def barf_alpha(epoch, N_freqs: int, epoch_start: int, epoch_end: int):
 
 
 def barf_weights(epoch, N_freqs: int, epoch_start: int, epoch_end: int,
-                 *, max_logscale: int | None = None, logscale: bool = True):
-    """Per-frequency annealing weights, matching reference nerf.py:47-59.
+                 *, max_logscale: int | None = None, logscale: bool = True,
+                 schedule: str = "fork"):
+    """Per-frequency annealing weights.
 
-    Note the reference compares alpha against the frequency *value* 2^k (not
-    the frequency index) — preserved here.
+    schedule="fork" reproduces reference nerf.py:47-59 exactly, including
+    its two quirks: alpha = N_freqs/epoch (DECREASING inside the window)
+    and comparison of alpha against the frequency *value* 2^k rather than
+    the index k.  Because max(alpha) = N_freqs while the top xyz frequency
+    is 2^(N_freqs-1), every band with 2^k >= N_freqs is zeroed FOREVER
+    (for the default N_emb_xyz=10: bands 4..9 never activate) — the
+    reference's --refine_pose field is permanently low-pass filtered,
+    which is why it ships with no recovery demonstration.
+
+    schedule="paper" is the actual BARF coarse-to-fine rule (eq. 14):
+    alpha ramps 0 -> N_freqs linearly over [epoch_start, epoch_end] and is
+    compared against the frequency INDEX k, so every band is fully active
+    from epoch_end on.  Selected via --barf_schedule paper; the fork rule
+    stays the default for reference parity.
     """
     if max_logscale is None:
         max_logscale = N_freqs - 1
-    freqs = jnp.asarray(posenc_freqs(max_logscale, N_freqs, logscale), jnp.float32)
-    alpha = barf_alpha(epoch, N_freqs, epoch_start, epoch_end)
+    if schedule == "paper":
+        freqs = jnp.arange(N_freqs, dtype=jnp.float32)
+    else:
+        freqs = jnp.asarray(posenc_freqs(max_logscale, N_freqs, logscale),
+                            jnp.float32)
+    alpha = barf_alpha(epoch, N_freqs, epoch_start, epoch_end, schedule)
     d = alpha - freqs
     ramp = (1.0 - jnp.cos(d * PI)) / 2.0
     return jnp.where(d < 0.0, 0.0, jnp.where(d < 1.0, ramp, 1.0))
@@ -128,7 +154,7 @@ def barf_weights(epoch, N_freqs: int, epoch_start: int, epoch_end: int,
 def embed(x: jnp.ndarray, N_freqs: int, *, barf: bool = False, epoch=None,
           epoch_start: int = 4, epoch_end: int = 8,
           max_logscale: int | None = None, logscale: bool = True,
-          fast: bool = False) -> jnp.ndarray:
+          fast: bool = False, schedule: str = "fork") -> jnp.ndarray:
     """PosEmbedding / BarfPosEmbedding forward in one entry point.
 
     The reference hardcodes BARF epochs (4, 8) at train.py:43-44; they are
@@ -139,7 +165,8 @@ def embed(x: jnp.ndarray, N_freqs: int, *, barf: bool = False, epoch=None,
         if epoch is None:
             raise ValueError("BARF embedding requires `epoch`")
         w = barf_weights(epoch, N_freqs, epoch_start, epoch_end,
-                         max_logscale=max_logscale, logscale=logscale)
+                         max_logscale=max_logscale, logscale=logscale,
+                         schedule=schedule)
     return posenc(x, N_freqs, max_logscale=max_logscale, logscale=logscale,
                   weights=w, fast=fast)
 

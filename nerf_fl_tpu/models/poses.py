@@ -89,6 +89,30 @@ def perturb_poses(init_c2w: np.ndarray, rot_deg: float, trans_frac: float,
     return (delta @ init_c2w).astype(np.float32)
 
 
+def gauge_transform(pred_c2w: np.ndarray, true_c2w: np.ndarray) -> np.ndarray:
+    """Rigid (4, 4) world transform T minimizing ||T @ pred - true|| over
+    the camera centers (Procrustes / Umeyama without scale).
+
+    Joint pose+scene refinement is defined only up to a global SE(3) gauge:
+    the refined scene lives in its own drifted world frame.  T maps that
+    frame back to the true-pose frame, so rendering a true-frame camera
+    inside the refined scene uses ``inv(T) @ c2w`` — the BARF-paper
+    evaluation protocol (sec. 5 aligns poses / optimizes test poses before
+    scoring for exactly this reason)."""
+    pred = np.asarray(pred_c2w, np.float64)[:, :3, :4]
+    true = np.asarray(true_c2w, np.float64)[:, :3, :4]
+    cp, ct = pred[:, :, 3], true[:, :, 3]
+    mp, mt = cp.mean(0), ct.mean(0)
+    H = (cp - mp).T @ (ct - mt)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    Rg = Vt.T @ D @ U.T
+    T = np.eye(4)
+    T[:3, :3] = Rg
+    T[:3, 3] = mt - Rg @ mp
+    return T
+
+
 def pose_errors(pred_c2w: np.ndarray, true_c2w: np.ndarray,
                 align: bool = True):
     """(mean rotation error deg, mean camera-center error) between two
@@ -101,12 +125,8 @@ def pose_errors(pred_c2w: np.ndarray, true_c2w: np.ndarray,
     Rp, cp = pred[:, :, :3], pred[:, :, 3]
     Rt, ct = true[:, :, :3], true[:, :, 3]
     if align and len(pred) >= 3:
-        mp, mt = cp.mean(0), ct.mean(0)
-        H = (cp - mp).T @ (ct - mt)
-        U, _, Vt = np.linalg.svd(H)
-        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
-        Rg = Vt.T @ D @ U.T
-        tg = mt - Rg @ mp
+        T = gauge_transform(pred, true)
+        Rg, tg = T[:3, :3], T[:3, 3]
         Rp = Rg[None] @ Rp
         cp = cp @ Rg.T + tg
     rel = Rp @ np.swapaxes(Rt, 1, 2)

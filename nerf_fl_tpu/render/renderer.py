@@ -53,6 +53,10 @@ class RenderConfig:
     refine_pose: bool = False       # BARF: annealed PE + learned poses
     barf_epoch_start: int = 4       # hardcoded (4, 8) in reference train.py:43-44
     barf_epoch_end: int = 8
+    # "fork" = reference nerf.py:47-59 parity (permanently low-passes the
+    # field — see encoding.barf_weights); "paper" = BARF eq. 14, the rule
+    # that actually recovers pose noise (docs/QUALITY.md BARF section).
+    barf_schedule: str = "fork"
     compute_dtype: str = "float32"  # "bfloat16" on the perf path
     use_pallas: Optional[bool] = None  # None = auto (on when running on TPU)
     fast_trig: Optional[bool] = None  # None = auto (polynomial PE on bf16)
@@ -107,14 +111,14 @@ def _embed_xyz(cfg: RenderConfig, xyz, epoch):
     return encoding.embed(
         xyz, cfg.N_emb_xyz, barf=cfg.refine_pose, epoch=epoch,
         epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
-        fast=cfg.use_fast_trig)
+        fast=cfg.use_fast_trig, schedule=cfg.barf_schedule)
 
 
 def _embed_dir(cfg: RenderConfig, d, epoch):
     return encoding.embed(
         d, cfg.N_emb_dir, barf=cfg.refine_pose, epoch=epoch,
         epoch_start=cfg.barf_epoch_start, epoch_end=cfg.barf_epoch_end,
-        fast=cfg.use_fast_trig)
+        fast=cfg.use_fast_trig, schedule=cfg.barf_schedule)
 
 
 def _fused_ok(mcfg: NeRFConfig) -> bool:
@@ -151,10 +155,12 @@ def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz,
         if cfg.refine_pose:
             bw_x = encoding.barf_weights(epoch, cfg.N_emb_xyz,
                                          cfg.barf_epoch_start,
-                                         cfg.barf_epoch_end)
+                                         cfg.barf_epoch_end,
+                                         schedule=cfg.barf_schedule)
             bw_d = encoding.barf_weights(epoch, cfg.N_emb_dir,
                                          cfg.barf_epoch_start,
-                                         cfg.barf_epoch_end)
+                                         cfg.barf_epoch_end,
+                                         schedule=cfg.barf_schedule)
         out = fused_apply_nerf(
             model_params, flat(xyz), per_sample(dirs),
             per_sample(a_emb) if a_emb is not None else None,

@@ -70,6 +70,9 @@ def config_from_hparams(hparams, white_back: bool) -> RenderConfig:
         N_tau=hparams.N_tau,
         beta_min=hparams.beta_min,
         refine_pose=getattr(hparams, "refine_pose", False),
+        barf_schedule=getattr(hparams, "barf_schedule", "fork"),
+        barf_epoch_start=getattr(hparams, "barf_epochs", [4, 8])[0],
+        barf_epoch_end=getattr(hparams, "barf_epochs", [4, 8])[1],
         compute_dtype=getattr(hparams, "compute_dtype", "float32"),
         use_pallas={"auto": None, "on": True, "off": False}[
             getattr(hparams, "use_pallas", "auto")],
@@ -122,7 +125,9 @@ def assemble_world_rays(params, rays, ts, *, ray_format: str,
 # ----------------------------------------------------------------------
 
 def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
-                    ray_format: str, id_to_cam, microbatch: int = 1):
+                    ray_format: str, id_to_cam, microbatch: int = 1,
+                    pose_lr_mult: float = 1.0,
+                    pose_warmup_epochs: float = 0.0):
     """The single-SGD-step function shared by every train-step variant:
     render -> loss -> grad -> masked optax update -> metrics.
 
@@ -172,11 +177,29 @@ def _make_step_core(cfg: RenderConfig, tx, trainable_mask, loss_name: str,
         return (grads, jnp.mean(ls),
                 jax.tree_util.tree_map(jnp.mean, lds), jnp.mean(mses))
 
+    scale_poses = (pose_lr_mult != 1.0 or pose_warmup_epochs > 0.0)
+
     def step(params, opt_state, batch, lr, epoch, rng):
         grads, loss, loss_d, mse = grads_of(params, batch, epoch, rng)
         grads = mask_updates(grads, trainable_mask)
         updates, new_opt_state = tx.update(grads, opt_state, params, lr)
         updates = mask_updates(updates, trainable_mask)
+        if scale_poses and "learn_poses" in updates:
+            # pose-specific lr: the reference trains pose deltas at the
+            # model lr from step 0 (train.py:135-136), but during the
+            # early white-background-collapse phase pose gradients are
+            # pure noise and Adam's scale-invariant steps random-walk the
+            # poses OUT of the coarse registration basin (measured: 2.0 ->
+            # 5.3 deg in 2 epochs, experiments/r4 logs).  Warmup holds
+            # poses fixed until the field forms; the multiplier mirrors
+            # BARF's 2x pose lr (paper sec. 5: 1e-3 vs 5e-4).
+            s = (jnp.float32(pose_lr_mult)
+                 * (jnp.asarray(epoch, jnp.float32)
+                    >= pose_warmup_epochs).astype(jnp.float32))
+            lp = updates["learn_poses"]
+            updates = {**updates,
+                       "learn_poses": {**lp, "r": lp["r"] * s,
+                                       "t": lp["t"] * s}}
         new_params = optax.apply_updates(params, updates)
 
         psnr = -10.0 * jnp.log10(mse)
@@ -192,7 +215,8 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
                     loss_name: str = "nerfw", ray_format: str = "world",
                     id_to_cam: Optional[np.ndarray] = None,
                     donate: bool = True, steps_per_execution: int = 1,
-                    microbatch: int = 1):
+                    microbatch: int = 1, pose_lr_mult: float = 1.0,
+                    pose_warmup_epochs: float = 0.0):
     """Build the single jitted SPMD train step.
 
     With ``steps_per_execution`` K > 1 the returned function runs K optimizer
@@ -205,7 +229,8 @@ def make_train_step(cfg: RenderConfig, tx, trainable_mask, *,
     no analog because torch dispatch is per-op anyway).
     """
     step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
-                           id_to_cam, microbatch)
+                           id_to_cam, microbatch, pose_lr_mult,
+                           pose_warmup_epochs)
     donate_args = (0, 1) if donate else ()
     if steps_per_execution <= 1:
         return jax.jit(step, donate_argnums=donate_args)
@@ -292,7 +317,9 @@ def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
                           ray_format: str = "world",
                           id_to_cam: Optional[np.ndarray] = None,
                           donate: bool = True, steps_per_execution: int = 1,
-                          data_sharding=None, microbatch: int = 1):
+                          data_sharding=None, microbatch: int = 1,
+                          pose_lr_mult: float = 1.0,
+                          pose_warmup_epochs: float = 0.0):
     """Train-step variant that draws batches from a device-resident pool.
 
     Signature of the returned function:
@@ -314,7 +341,8 @@ def make_device_pool_step(cfg: RenderConfig, tx, trainable_mask, *,
     layout on multi-chip meshes.
     """
     step = _make_step_core(cfg, tx, trainable_mask, loss_name, ray_format,
-                           id_to_cam, microbatch)
+                           id_to_cam, microbatch, pose_lr_mult,
+                           pose_warmup_epochs)
     K = max(1, steps_per_execution)
     B = batch_size
 
@@ -753,7 +781,9 @@ class NeRFSystem:
                 self.cfg, self.tx, self.mask, batch_size=h.batch_size,
                 loss_name=self.loss_name, ray_format=self.ray_format,
                 id_to_cam=self.id_to_cam, steps_per_execution=self.spe,
-                data_sharding=data_sh, microbatch=mb)
+                data_sharding=data_sh, microbatch=mb,
+                pose_lr_mult=getattr(h, "pose_lr_mult", 1.0),
+                pose_warmup_epochs=getattr(h, "pose_warmup_epochs", 0.0))
             print(f"[data] device-resident ray pool: "
                   f"{pool_bytes / 1e6:.0f} MB uploaded once; batches are "
                   f"drawn on device")
@@ -761,7 +791,9 @@ class NeRFSystem:
             self.train_step = make_train_step(
                 self.cfg, self.tx, self.mask, loss_name=self.loss_name,
                 ray_format=self.ray_format, id_to_cam=self.id_to_cam,
-                steps_per_execution=self.spe, microbatch=mb)
+                steps_per_execution=self.spe, microbatch=mb,
+                pose_lr_mult=getattr(h, "pose_lr_mult", 1.0),
+                pose_warmup_epochs=getattr(h, "pose_warmup_epochs", 0.0))
 
     def restore(self, path: str):
         ckpt = checkpoints.load_checkpoint(path)
@@ -884,10 +916,28 @@ class NeRFSystem:
                 self._prof_tracing = False
                 self._prof_done = True
 
+        # BARF paper-schedule annealing is CONTINUOUS (eq. 14 ramps alpha per
+        # optimization step): each dispatch gets a fractional epoch so a band
+        # fades in over ~(window/N_freqs) x steps_per_epoch steps and its
+        # first-layer weights adapt as the weight grows.  Keeping the fork
+        # rule per-epoch (reference semantics) makes alpha JUMP at epoch
+        # boundaries — measured on device, each jump switches on bands whose
+        # input weights never saw a gradient (zero input => zero grad) and
+        # the loss spike collapses the field to the white-background optimum
+        # (experiments/r4/barf_curve.py, docs/QUALITY.md BARF section).
+        frac_anneal = (self.cfg.refine_pose
+                       and self.cfg.barf_schedule == "paper")
         for epoch in range(self.start_epoch, h.num_epochs):
             lr = lr_for_epoch(h, epoch)
             lr_j = jnp.float32(lr)
             ep_j = jnp.float32(epoch)
+            n_steps_epoch = max(1, self.batcher.steps_per_epoch())
+
+            def ep_at(step_in_epoch):
+                if not frac_anneal:
+                    return ep_j
+                return jnp.float32(epoch + step_in_epoch / n_steps_epoch)
+
             t0, n_rays = time.time(), 0
             spe = self.spe
             if self.device_pool is not None:
@@ -915,13 +965,15 @@ class NeRFSystem:
                             self.train_step(
                                 self.params, self.opt_state, pool, perm,
                                 jnp.int32(g0), jnp.uint32(self.global_step),
-                                n_steps_j, lr_j, ep_j, base_rng)
+                                n_steps_j, lr_j, ep_at(g0), base_rng)
                         prof_after()
                         yield metrics, min(spe, n_steps - g0)
             elif spe > 1:
                 # group K host batches -> one stacked transfer + ONE dispatch
                 # running K optimizer steps under lax.scan (same math up to
                 # float32 roundoff; amortizes per-call dispatch latency)
+                ep_start = self.global_step
+
                 def grouped(it=self.batcher.epoch(epoch), first=self.global_step):
                     buf, start = [], first
                     for b in it:
@@ -938,29 +990,33 @@ class NeRFSystem:
                     stacked, valid = stack_batches(bs, spe)
                     stacked = self._place_batch(stacked, axis=1)
                     rngs = fold_in_range(base_rng, jnp.uint32(start), spe)
-                    return stacked, rngs, jnp.asarray(valid), n_real
+                    return stacked, rngs, jnp.asarray(valid), n_real, start
 
                 feed = DevicePrefetcher(grouped(), put)
 
                 def stepper():
-                    for stacked, rngs, valid, n_real in feed:
+                    for stacked, rngs, valid, n_real, start in feed:
                         prof_before()
                         self.params, self.opt_state, metrics = \
                             self.train_step(self.params, self.opt_state,
-                                            stacked, lr_j, ep_j, rngs, valid)
+                                            stacked, lr_j,
+                                            ep_at(start - ep_start),
+                                            rngs, valid)
                         prof_after()
                         yield metrics, n_real
             else:
                 feed = DevicePrefetcher(self.batcher.epoch(epoch),
                                         self._place_batch)
+                ep_start1 = self.global_step
 
                 def stepper():
                     for batch in feed:
                         prof_before()
                         rng = jax.random.fold_in(base_rng, self.global_step)
                         self.params, self.opt_state, metrics = \
-                            self.train_step(self.params, self.opt_state,
-                                            batch, lr_j, ep_j, rng)
+                            self.train_step(
+                                self.params, self.opt_state, batch, lr_j,
+                                ep_at(self.global_step - ep_start1), rng)
                         prof_after()
                         yield metrics, 1
 
@@ -1009,7 +1065,15 @@ class NeRFSystem:
                 if feed is not None:
                     feed.close()
 
-            val_loss, val_psnr, viz = self.run_validation(epoch + 1)
+            # render the val pass at the annealing state the field was
+            # actually trained at: the fork rule holds alpha(epoch) for the
+            # whole epoch; the continuous paper ramp ends the epoch at
+            # alpha(epoch + 1).  (Rendering one alpha step AHEAD of training
+            # — the old epoch+1 for fork — scored 9.2 dB garbage at the
+            # window edges: freshly switched-on bands have untrained
+            # first-layer weights.  experiments/r4/barf_curve logs.)
+            val_ep = epoch + 1 if frac_anneal else epoch
+            val_loss, val_psnr, viz = self.run_validation(val_ep)
             self.logger.scalars(
                 {"val/loss": val_loss, "val/psnr": val_psnr}, self.global_step)
             if viz is not None:

@@ -78,6 +78,22 @@ _SHARED = [
       "eval": dict(help="apply learned pose deltas from the checkpoint "
                         "and render at the checkpoint's PE-annealing "
                         "epoch")}),
+    ("--barf_schedule", dict(type=str, default="fork",
+                             choices=["fork", "paper"],
+                             help="PE-annealing rule under --refine_pose: "
+                                  "'fork' reproduces reference "
+                                  "nerf.py:47-59 (alpha=N/epoch vs the "
+                                  "frequency VALUE 2^k — permanently "
+                                  "low-passes the field, bands 4..9 never "
+                                  "activate); 'paper' is BARF eq. 14 "
+                                  "(linear alpha vs the frequency index), "
+                                  "the rule that actually recovers pose "
+                                  "noise"), {}),
+    ("--barf_epochs", dict(nargs=2, type=int, default=[4, 8],
+                           metavar=("START", "END"),
+                           help="PE-annealing window in epochs (the "
+                                "reference hardcodes 4 8 at "
+                                "train.py:43-44)"), {}),
 
     ("--chunk", dict(type=int),
      {"train": dict(default=32 * 1024,

@@ -32,6 +32,19 @@ def get_parser():
                              'kept for error reporting '
                              '(models/poses.py pose_errors)')
     parser.add_argument('--pose_noise_seed', type=int, default=0)
+    parser.add_argument('--pose_lr_mult', type=float, default=1.0,
+                        help='lr multiplier for the learned pose deltas '
+                             'relative to the model lr (BARF paper sec. 5 '
+                             'uses 2x: 1e-3 vs 5e-4; the reference trains '
+                             'poses at the model lr, train.py:135-136)')
+    parser.add_argument('--pose_warmup_epochs', type=float, default=0.0,
+                        help='hold pose deltas FIXED for the first N '
+                             '(fractional) epochs: during the early white-'
+                             'background-collapse phase pose gradients are '
+                             'noise and Adam random-walks the poses out of '
+                             'the registration basin (measured 2.0 -> 5.3 '
+                             'deg in 2 epochs; docs/QUALITY.md BARF '
+                             'section). 0 = reference-parity behavior')
 
     # train-time sampling stochasticity (eval always renders perturb=0,
     # noise_std=0, matching reference eval.py test_time semantics)

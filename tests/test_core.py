@@ -110,6 +110,28 @@ def test_barf_weights_match_reference():
         np.testing.assert_allclose(ours, ref_w, atol=1e-6, err_msg=f"epoch {epoch}")
 
 
+def test_barf_schedules_fork_vs_paper():
+    """The fork rule permanently zeroes every band with 2^k >= N_freqs
+    (reference nerf.py:47-59 quirk); the paper rule (BARF eq. 14) must
+    activate ALL bands by epoch_end and ramp monotonically by index."""
+    # fork: long after epoch_end, alpha = N_freqs = 10 vs values 2^k
+    w_fork = np.asarray(encoding.barf_weights(100.0, 10, 4, 8))
+    np.testing.assert_allclose(w_fork[:4], 1.0)   # 2^0..2^3 <= 8 active
+    np.testing.assert_allclose(w_fork[4:], 0.0)   # 2^4..2^9 dead forever
+    # paper: all bands fully on from epoch_end
+    for epoch in (8.0, 100.0):
+        w = np.asarray(encoding.barf_weights(epoch, 10, 4, 8,
+                                             schedule="paper"))
+        np.testing.assert_allclose(w, 1.0)
+    # before the window: all off; mid-window: low-index bands lead
+    w0 = np.asarray(encoding.barf_weights(4.0, 10, 4, 8, schedule="paper"))
+    np.testing.assert_allclose(w0, 0.0)
+    w6 = np.asarray(encoding.barf_weights(6.0, 10, 4, 8, schedule="paper"))
+    assert np.all(np.diff(w6) <= 1e-6)            # monotone by index
+    np.testing.assert_allclose(w6[:5], 1.0)       # alpha = 5 at midpoint
+    np.testing.assert_allclose(w6[5:], 0.0)
+
+
 def test_posenc_fast_trig_accuracy():
     """Cody-Waite polynomial PE (the bf16 compute path) must match exact f32
     sin/cos to ~1e-6 — far below bf16 resolution — over the full PE argument
