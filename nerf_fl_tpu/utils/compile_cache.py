@@ -34,6 +34,21 @@ def enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
         # cache everything: remote compiles are expensive at ANY size
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        try:
+            # CRITICAL (round-4 BENCH-timeout root cause): jax's default
+            # 'xla_gpu_per_fusion_autotune_cache_dir' embeds the cache DIR
+            # PATH into debug_options, which is hashed into every cache
+            # key — entries built in a staging dir (the round-3 fresh-dir
+            # rebuild recipe) could therefore NEVER hit when later read
+            # from .jax_bench_cache: same program, different key.  The
+            # XLA-side caches this option controls are GPU-only features;
+            # disabling makes keys depend only on the program + backend.
+            # Verified: identical program under two cache dirs hashes to
+            # the same key with "none", different keys without.
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:
+            pass  # older jax without the option: keys were dir-free there
         return path
     except Exception as e:  # never let caching break a run
         # stderr: bench.py's driver contract is ONE JSON line on stdout

@@ -118,6 +118,47 @@ def test_psnr_regression_phototourism(tmp_path):
     assert report and all(np.isfinite(v) for v in report.values())
 
 
+def test_compile_cache_key_is_dir_independent(tmp_path):
+    """enable_compile_cache must yield cache keys that do NOT depend on the
+    cache directory path.  Round-4 root cause: jax's default
+    xla_gpu_per_fusion_autotune_cache_dir embeds the cache dir into the
+    hashed debug_options, so entries rebuilt in a staging dir (the round-3
+    fresh-dir recipe) could never hit when read from .jax_bench_cache —
+    same program, different key, 30-400 s cold remote compile, rc=124."""
+    import json
+
+    prog = (
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from nerf_fl_tpu.utils.compile_cache import enable_compile_cache\n"
+        "assert enable_compile_cache(sys.argv[1])\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((4, 4))\n"
+        "import jax._src.compiler as compiler\n"
+        "class Abort(Exception):\n"
+        "    pass\n"
+        "def spy(module_name, cache_key, *a, **k):\n"
+        "    print('KEY=' + cache_key)\n"
+        "    raise Abort\n"
+        "compiler._cache_read = spy\n"
+        "try:\n"
+        "    jax.jit(lambda v: v * 3 + 1)(x)\n"
+        "except Abort:\n"
+        "    pass\n"
+    )
+    keys = []
+    for d in ("cc_a", "cc_b"):
+        r = subprocess.run([sys.executable, "-c", prog, str(tmp_path / d)],
+                           capture_output=True, text=True, timeout=300,
+                           cwd=REPO)
+        assert r.returncode == 0, r.stderr[-2000:]
+        ks = [ln for ln in r.stdout.splitlines() if ln.startswith("KEY=")]
+        assert ks, r.stdout + r.stderr[-2000:]
+        keys.append(ks[-1])
+    assert keys[0] == keys[1], keys
+
+
 def test_bench_smoke_emits_json(tmp_path):
     """`python bench.py` must emit one parseable JSON line with the driver
     contract fields even at tiny settings — the round-2 BENCH artifact was
@@ -158,6 +199,32 @@ def test_bench_smoke_emits_json(tmp_path):
         assert res["device_frac_of_wall"] > 0
     if "mfu_pct_est" in res:
         assert 0 < res["mfu_pct_est"] <= 100
+
+    # BENCH_CACHE_CHECK (VERDICT r4 item 2): against the cache the run
+    # just populated, every live program's key must be PRESENT (this also
+    # proves abstract-aval lowering reproduces the real run's cache keys);
+    # against an empty dir, every key must be MISSING — and fast, because
+    # the check never compiles.
+    env_check = dict(env, BENCH_CACHE_CHECK="1")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=REPO, env=env_check)
+    assert r.returncode == 0, r.stdout + r.stderr[-3000:]
+    rep = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rep["pass"] is True
+    stages = {p["stage"] for p in rep["programs"]}
+    assert stages == {"stage1_k1", "stage2_k2", "stage3_pool_k2"}, stages
+
+    env_check["BENCH_COMPILE_CACHE"] = str(tmp_path / "empty_cache")
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True, timeout=600,
+                       cwd=REPO, env=env_check)
+    assert r.returncode == 1, r.stdout + r.stderr[-3000:]
+    rep = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert rep["pass"] is False
+    assert all(p.get("present") is False for p in rep["programs"])
 
 
 def test_make_fixture_cli_produces_loadable_scene(tmp_path):

@@ -93,7 +93,15 @@ def test_quality_gate_smoke_preset(tmp_path):
     assert all(v > 5 for v in res["psnr"].values())
     assert len(res["checks"]) == 6
     assert (ws / "QUALITY_GATE.md").exists()
-    # resume contract: a second run must skip all training and eval
+    # artifact freshness contract (r4 verdict item 8): stamped with the
+    # git SHA it was produced from + a timestamp + honesty counters
+    head = subprocess.check_output(["git", "rev-parse", "HEAD"],
+                                   cwd=REPO, text=True).strip()
+    assert res["git_sha"] == head
+    assert res["generated_at"]
+    assert res["arms_trained"] == 7 and res["evals_run"] == 8
+    # resume contract: a second run must skip all training and eval, and
+    # the re-emitted artifact must say so
     r2 = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "quality_gate.py"),
          "--preset", "smoke", "--workdir", str(ws), "--out", str(out),
@@ -101,6 +109,28 @@ def test_quality_gate_smoke_preset(tmp_path):
         capture_output=True, text=True, timeout=300, cwd=REPO)
     assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
     assert "checkpoint exists, skipping" in r2.stdout
+    res2 = json.loads(out.read_text())
+    assert res2["arms_trained"] == 0 and res2["evals_run"] == 0
+
+
+def test_quality_gate_crash_overwrites_stale_pass(tmp_path):
+    """A crashed run must replace any previous passing artifact with a
+    pass:false one (r4 verdict weak #7: an arm failure used to raise and
+    leave the old artifact in place)."""
+    out = tmp_path / "QUALITY_GATE.json"
+    out.write_text(json.dumps({"pass": True, "stale": True}))
+    # arm_timeout too small for any training command -> TimeoutExpired
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "quality_gate.py"),
+         "--preset", "smoke", "--workdir", str(tmp_path / "ws"),
+         "--out", str(out), "--arm_timeout", "0.2"],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode != 0
+    res = json.loads(out.read_text())
+    assert res["pass"] is False
+    assert "stale" not in res
+    assert res["error"]
+    assert res["git_sha"]
 
 
 if __name__ == "__main__":

@@ -100,6 +100,33 @@ def log(msg):
 
 T0 = time.perf_counter()
 
+# honesty counters for the artifact: a resume run that re-scores parsed
+# logs in seconds must be distinguishable from a fresh end-to-end run
+STATS = {"arms_trained": 0, "evals_run": 0}
+
+
+def git_sha():
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=_REPO, text=True).strip()
+    except Exception:
+        return None
+
+
+def write_artifact(out_json, result):
+    """Atomic write stamped with git SHA + time, so a stale PASSING
+    artifact can never masquerade as current (r4 verdict item 8); the
+    crash path in main() writes a pass:false artifact through here too
+    (r4 weak #7: an arm crash used to leave the old artifact in place)."""
+    result = dict(result, git_sha=git_sha(),
+                  generated_at=time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                  arms_trained=STATS["arms_trained"],
+                  evals_run=STATS["evals_run"])
+    tmp = out_json + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, out_json)
+
 
 def run_cmd(cmd, logfile, timeout, platform=None, cwd=_REPO):
     env = dict(os.environ)
@@ -153,6 +180,7 @@ def train_eval_arm(ws, scene, p, name, perturb, model_flags, timeout,
         "--compute_dtype", p["dtype"],
     ]
     if not os.path.exists(final_ckpt):
+        STATS["arms_trained"] += 1
         log(f"train {name}")
         cmd = ([sys.executable, os.path.join(_REPO, "train.py")] + common + [
             "--noise_std", "0",
@@ -170,6 +198,7 @@ def train_eval_arm(ws, scene, p, name, perturb, model_flags, timeout,
     ev_log = os.path.join(logs, f"{eval_name}_eval.log")
     psnr = parse_psnr(ev_log) if os.path.exists(ev_log) else None
     if psnr is None:
+        STATS["evals_run"] += 1
         log(f"eval {eval_name}")
         # eval.py writes results/<dataset>/<scene> relative to CWD (the
         # reference convention) — run it from the workdir
@@ -266,15 +295,24 @@ def main():
 
     scene = ensure_fixture(ws, p)
     psnr = {}
-    for name, perturb, model_flags in ARMS:
-        psnr[name] = train_eval_arm(ws, scene, p, name, perturb,
-                                    model_flags, args.arm_timeout)
-    # the paper-protocol arm re-evals the trained W checkpoint
-    psnr["co_nerfw_opta"] = train_eval_arm(
-        ws, scene, p, "co_nerfw", ["color", "occ"],
-        ["--encode_a", "--encode_t", "--beta_min", "0.1"],
-        args.arm_timeout, eval_extra=["--optimize_appearance"],
-        eval_name="co_nerfw_opta")
+    try:
+        for name, perturb, model_flags in ARMS:
+            psnr[name] = train_eval_arm(ws, scene, p, name, perturb,
+                                        model_flags, args.arm_timeout)
+        # the paper-protocol arm re-evals the trained W checkpoint
+        psnr["co_nerfw_opta"] = train_eval_arm(
+            ws, scene, p, "co_nerfw", ["color", "occ"],
+            ["--encode_a", "--encode_t", "--beta_min", "0.1"],
+            args.arm_timeout, eval_extra=["--optimize_appearance"],
+            eval_name="co_nerfw_opta")
+    except BaseException as e:
+        # a crashed run must OVERWRITE any previous (possibly passing)
+        # artifact with a failing one, never leave a stale pass behind
+        write_artifact(out_json, {
+            "preset": args.preset, "pass": False, "error": repr(e),
+            "psnr": {k: round(v, 2) for k, v in psnr.items()},
+            "wall_s": round(time.perf_counter() - T0, 1), "workdir": ws})
+        raise
 
     checks = check_orderings(psnr, p["margins"])
     ok = all(c["pass"] for c in checks)
@@ -287,8 +325,7 @@ def main():
         "wall_s": round(time.perf_counter() - T0, 1),
         "workdir": ws,
     }
-    with open(out_json, "w") as f:
-        json.dump(result, f, indent=1)
+    write_artifact(out_json, result)
     with open(os.path.join(ws, "QUALITY_GATE.md"), "w") as f:
         f.write(table)
     print(table)
