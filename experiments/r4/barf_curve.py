@@ -43,48 +43,6 @@ def log(msg):
     print(f"[barf +{time.perf_counter() - T0:7.1f}s] {msg}", flush=True)
 
 
-def gauge_val_psnr(system, epoch: int, max_images: int = 2) -> float:
-    """Val PSNR with the global SE(3) gauge removed (the BARF-paper eval
-    convention): joint pose+scene refinement drifts the whole reconstruction
-    into its own world frame, so clean-frame val cameras must be mapped into
-    the refined frame (inv(T) @ c2w, T from Procrustes over the TRAIN poses)
-    before rendering — raw val PSNR punishes a sharp-but-globally-shifted
-    scene harder than the control's blurry-but-unshifted one."""
-    import jax
-    from nerf_fl_tpu.data.rays_np import get_rays
-    from nerf_fl_tpu.models.poses import all_poses, gauge_transform
-    from nerf_fl_tpu.training.system import render_chunked, val_chunk_cap
-
-    refined = np.asarray(all_poses(system.params["learn_poses"]))
-    T = gauge_transform(refined, system.true_poses)
-    Tinv = np.linalg.inv(T)
-    ds = system.val_dataset
-    h = system.hparams
-    psnrs = []
-    for i in range(min(len(ds), max_images)):
-        sample = ds[i]
-        c2w = np.eye(4)
-        c2w[:3, :4] = np.asarray(sample["c2w"], np.float64)
-        cc = (Tinv @ c2w)[:3, :4].astype(np.float32)
-        rays_o, rays_d = get_rays(ds.directions, cc)
-        n_px = len(rays_o)
-        rays = np.concatenate([
-            rays_o, rays_d,
-            np.full((n_px, 1), ds.near, np.float32),
-            np.full((n_px, 1), ds.far, np.float32)], 1)
-        res = render_chunked(
-            system.params, rays, sample["ts"], system.cfg,
-            chunk=val_chunk_cap(h.chunk, system.cfg.N_samples,
-                                system.cfg.N_importance),
-            test_time=False, epoch=float(epoch),
-            rng=jax.random.PRNGKey(1000 + i),
-            keys=("rgb_coarse", "rgb_fine"))
-        typ = "fine" if "rgb_fine" in res else "coarse"
-        mse = np.mean((np.asarray(res[f"rgb_{typ}"]) - sample["rgbs"]) ** 2)
-        psnrs.append(-10.0 * np.log10(mse))
-    return float(np.mean(psnrs))
-
-
 def main():
     from nerf_fl_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -144,14 +102,26 @@ def main():
             "trans_injected": round(float(t_inj), 4),
             "trans_refined_aligned": round(float(t_ref), 4),
             "trans_refined_raw": round(float(t_raw), 4)}
-        out[arm]["val_psnr_gauge"] = round(
-            gauge_val_psnr(s, epoch=EPOCHS - 1), 2)
+        from nerf_fl_tpu.training.system import gauge_val_psnr
+        g, _ = gauge_val_psnr(s, epoch=EPOCHS - 1)
+        out[arm]["val_psnr_gauge"] = round(g, 2)
         log(f"{arm}: gauge-corrected val PSNR {out[arm]['val_psnr_gauge']}")
+    # Headline recovery is computed from RAW val PSNR (round-5 diagnosis,
+    # gauge_val_psnr docstring + test_gauge_render_roundtrip): the gauge
+    # correction only applies when the pose residual is a COHERENT global
+    # drift (gauge >> raw).  Here aligned ~ raw pose error — the residual
+    # is per-camera noise, Procrustes fits that noise, and inv(T) moves
+    # val cameras AWAY from the scene (gauge scored 7.7 dB BELOW raw on
+    # the barf arm).  val_psnr_gauge stays in the artifact as the drift
+    # diagnostic.
     gap = out["clean"]["val_psnr"] - out["noisy_ctrl"]["val_psnr"]
-    rec = out["noisy_barf"]["val_psnr_gauge"] - out["noisy_ctrl"]["val_psnr"]
+    rec = out["noisy_barf"]["val_psnr"] - out["noisy_ctrl"]["val_psnr"]
     out["psnr_gap_db"] = round(gap, 2)
     out["psnr_recovered_db"] = round(rec, 2)
     out["recovered_frac"] = round(rec / gap, 3) if gap > 0 else None
+    out["gauge_note"] = ("gauge <= raw on both refined arms: residual is "
+                         "per-camera noise, not coherent drift; headline "
+                         "recovery uses raw val PSNR")
     out["wall_s"] = round(time.perf_counter() - T0, 1)
 
     path = os.path.join(_REPO, "experiments/r4/barf_curve.json")

@@ -103,6 +103,53 @@ def test_gauge_transform_recovers_rigid_motion():
     assert r < 1e-6 and t < 1e-8
 
 
+def test_gauge_render_roundtrip(barf_scene, tmp_path):
+    """gauge_val_psnr must round-trip a known coherent SE(3) drift THROUGH
+    THE RENDERER (r4 verdict item 3: the old unit test checked camera
+    centers only).  Train a field whose every camera pose is G @ true —
+    the images are of the original scene, so the reconstruction IS the
+    scene transformed by G (the pure-gauge situation).  Then raw val
+    (true-frame cameras) must collapse, and gauge rendering (inv(T) @ c2w
+    with T estimated by Procrustes from the train poses) must restore it;
+    the estimated T must invert G."""
+    import jax.numpy as jnp
+
+    from nerf_fl_tpu.training.system import gauge_val_psnr
+
+    th = np.deg2rad(10.0)
+    G = np.array([[np.cos(th), -np.sin(th), 0, 0.25],
+                  [np.sin(th), np.cos(th), 0, -0.15],
+                  [0, 0, 1, 0.1],
+                  [0, 0, 0, 1.0]])
+
+    argv = (_common(barf_scene, tmp_path, epochs=8)
+            + ['--pose_noise', '1e-12', '1e-12',  # camdir path, frozen deltas
+               '--exp_name', 'gauge'])
+    hp = get_opts(argv)
+    system = NeRFSystem(hp, logger=NullLogger())
+    system.setup()
+    system.configure()
+    drifted = np.einsum('ij,njk->nik', G,
+                        np.asarray(system.true_poses, np.float64))
+    system.init_poses = drifted.astype(np.float32)
+    lp = dict(system.params['learn_poses'])
+    lp['init_c2w'] = jnp.asarray(system.init_poses)
+    system.params = dict(system.params, learn_poses=lp)
+    system.fit()
+
+    _, raw, _ = system.run_validation(epoch=7, max_images=2)
+    corrected, T = gauge_val_psnr(system, epoch=7, max_images=2)
+    print(f"[gauge-roundtrip] raw {raw:.2f} -> gauge {corrected:.2f} dB")
+    # the Procrustes estimate from the train poses must invert G exactly
+    # (deltas frozen at zero -> refined poses are exactly G @ true)
+    np.testing.assert_allclose(T @ G, np.eye(4), atol=1e-5)
+    # and the correction must rescue the render: coherent drift is the
+    # case the gauge metric is FOR (contrast: per-camera noise residual,
+    # where it measurably hurts — see gauge_val_psnr's docstring)
+    assert corrected > raw + 3.0, (raw, corrected)
+    assert corrected > 13.0, corrected
+
+
 def test_lowpass_registration_converges(barf_scene, tmp_path):
     """THE machinery proof: freeze a trained field, render self-consistent
     targets at the true poses (true pose = exact optimum by construction),
