@@ -241,7 +241,8 @@ def main():
     cfg = RenderConfig(N_samples=64, N_importance=64, encode_a=True,
                        encode_t=True, beta_min=0.1, white_back=True,
                        perturb=1.0, noise_std=0.0,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       remat_mlp=bool(os.environ.get("BENCH_REMAT")))
     # BENCH_CACHE_CHECK=1: verify-the-cache mode (see run_cache_check below)
     # must not EXECUTE anything — even the tiny RNG programs remote-compile
     # when absent from the cache — so parameters are built abstractly

@@ -60,6 +60,11 @@ class RenderConfig:
     compute_dtype: str = "float32"  # "bfloat16" on the perf path
     use_pallas: Optional[bool] = None  # None = auto (on when running on TPU)
     fast_trig: Optional[bool] = None  # None = auto (polynomial PE on bf16)
+    # jax.checkpoint the field MLP: the train step is HBM-bound (saved
+    # trunk activations re-stream in backward) while the MXU sits ~33%
+    # busy, so recomputing the forward inside the backward trades idle
+    # FLOPs for activation traffic.  Measured round 5 (see docs/PERF.md).
+    remat_mlp: bool = False
     # Field MLP size.  The reference hardcodes D=8/W=256 at its call sites
     # but they are constructor args (nerf.py:81-86); exposed here so small
     # configs (CI quality gate, capacity studies) stay on the same code path.
@@ -178,12 +183,21 @@ def _run_mlp(model_params, mcfg: NeRFConfig, cfg: RenderConfig, xyz,
             # per ray and broadcast-adds, so the (N*S, C) broadcast the
             # reference materializes (rendering.py:113-118) never hits HBM
             dir_a = jnp.concatenate(parts, axis=-1)
-        out = apply_nerf(model_params, mcfg, xyz_emb, dir_a,
-                         t_emb if output_transient else None,
-                         sigma_only=sigma_only,
-                         output_transient=output_transient,
-                         compute_dtype=cfg.dtype,
-                         samples_per_ray=S)
+        def _apply(mp, xe, da, te):
+            return apply_nerf(mp, mcfg, xe, da, te,
+                              sigma_only=sigma_only,
+                              output_transient=output_transient,
+                              compute_dtype=cfg.dtype,
+                              samples_per_ray=S)
+
+        if cfg.remat_mlp:
+            # full remat: save only the (much smaller) embedded inputs,
+            # recompute trunk activations inside the backward.
+            # prevent_cse=False: we are always under jit here, and the
+            # scanned K-step program needs the recompute NOT hoisted.
+            _apply = jax.checkpoint(_apply, prevent_cse=False)
+        out = _apply(model_params, xyz_emb, dir_a,
+                     t_emb if output_transient else None)
     return {k: v.reshape((N, S) + v.shape[1:]) for k, v in out.items()}
 
 

@@ -78,6 +78,7 @@ def config_from_hparams(hparams, white_back: bool) -> RenderConfig:
             getattr(hparams, "use_pallas", "auto")],
         fast_trig={"auto": None, "on": True, "off": False}[
             getattr(hparams, "fast_trig", "auto")],
+        remat_mlp=getattr(hparams, "remat_mlp", False),
         mlp_depth=getattr(hparams, "mlp_depth", 8),
         mlp_width=getattr(hparams, "mlp_width", 256),
     )

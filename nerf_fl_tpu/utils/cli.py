@@ -130,6 +130,11 @@ _SHARED = [
                          choices=["auto", "on", "off"],
                          help="polynomial PE sin/cos, error ~1e-6 "
                               "(auto = on for bfloat16 compute)"), {}),
+    ("--remat_mlp", dict(action="store_true",
+                         help="jax.checkpoint the field MLP: recompute "
+                              "trunk activations in the backward instead "
+                              "of streaming them from HBM (A/B lever; "
+                              "see docs/PERF.md round-5 remat probe)"), {}),
     ("--mlp_depth", dict(type=int, default=8,
                          help="field MLP trunk depth D (reference "
                               "nerf.py:81 constructor arg, hardcoded 8 at "

@@ -66,3 +66,37 @@ def test_barf_render_changes_with_epoch():
     r_later = render_rays(params, rays, ts, None, cfg, epoch=100.0)
     np.testing.assert_allclose(np.asarray(r_late["rgb_fine"]),
                                np.asarray(r_later["rgb_fine"]), atol=1e-6)
+
+
+def test_remat_mlp_matches_values_and_grads():
+    """--remat_mlp must be a pure scheduling change: identical render
+    values AND identical loss gradients (the checkpointed backward
+    recomputes the same ops; only what is SAVED changes).  The perf
+    question — trading idle MXU FLOPs for HBM activation traffic — is
+    measured on device (docs/PERF.md round-5 remat probe); this pins the
+    math so the lever is always safe to flip."""
+    from dataclasses import replace
+
+    cfg = RenderConfig(N_samples=8, N_importance=8, encode_a=True,
+                       encode_t=True, beta_min=0.1, perturb=0.0,
+                       noise_std=0.0, mlp_depth=4, mlp_width=32)
+    params = build_params(jax.random.PRNGKey(0), cfg, 4)
+    rays = jnp.asarray(make_rays(32))
+    ts = jnp.zeros((32,), jnp.int32)
+    rgbs = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (32, 3)).astype(np.float32))
+
+    def loss_fn(p, c):
+        res = render_rays(p, rays, ts, jax.random.PRNGKey(2), c,
+                          test_time=False)
+        return jnp.mean((res["rgb_fine"] - rgbs) ** 2)
+
+    for c in (cfg, replace(cfg, compute_dtype="bfloat16")):
+        l0, g0 = jax.value_and_grad(loss_fn)(params, c)
+        l1, g1 = jax.value_and_grad(loss_fn)(
+            params, replace(c, remat_mlp=True))
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   rtol=1e-6, atol=0)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7), g0, g1)
