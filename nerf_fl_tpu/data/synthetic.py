@@ -183,9 +183,12 @@ def make_phototourism_scene(root: str, n_images: int = 5, size: int = 32,
                          os.path.join(root, "dense/sparse/cameras.bin"))
 
     images, rows = {}, []
-    # image ids deliberately sparse/non-contiguous (reference relies on
-    # images.bin ids, not the tsv 'id' column)
-    ids = [4 * i + 3 for i in range(n_images)]
+    # image ids deliberately non-contiguous (reference relies on images.bin
+    # ids, not the tsv 'id' column) but bounded like the real scenes: the
+    # brandenburg recipe trains 1363 images with --N_vocab 1500 (reference
+    # README.md:113-120), so its sparse ids all fit under 1500.  Skip every
+    # 11th integer: max id = n + (n-1)//10 < 1.1*n, i.e. 1499 at n=1363.
+    ids = [1 + i + i // 10 for i in range(n_images)]
     for n, iid in enumerate(ids):
         cam_id = (n % len(size_cycle)) + 1
         size = size_cycle[n % len(size_cycle)]
