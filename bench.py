@@ -313,11 +313,15 @@ def main():
                 return step(params, opt_state, batch, lr, ep, ks)
             return step(params, opt_state, batch, lr, ep, ks, valid)
 
-        def lower_one(params, opt_state, item):  # for stage-4 cost analysis
+        def lower_one(params, opt_state, item, *, backend=None):
+            # for stage-4 cost analysis; backend="cpu" re-jits the same
+            # function for CPU (the axon client's cost_analysis is None)
+            s = (jax.jit(step.__wrapped__, backend=backend) if backend
+                 else step)
             batch, ks = item
             if spe == 1:
-                return step.lower(params, opt_state, batch, lr, ep, ks)
-            return step.lower(params, opt_state, batch, lr, ep, ks, valid)
+                return s.lower(params, opt_state, batch, lr, ep, ks)
+            return s.lower(params, opt_state, batch, lr, ep, ks, valid)
         run_one.lower = lower_one
         return run_one
 
@@ -613,11 +617,29 @@ def main():
             trace_dir = os.environ.get("BENCH_TRACE_DIR") or \
                 tempfile.mkdtemp(prefix="bench_trace_")
             _progress(f"stage 4: tracing winner ({data_path}, K={spe_win})")
-            flops_group = None
 
-            def _flops(lowered):
+            def _flops_per_step():
+                """Flop count of ONE optimizer step, from the K=1 program's
+                unoptimized HLO lowered for the CPU backend.  Why not the
+                winning (scanned) program on the live backend: (a) the axon
+                client's cost_analysis() returns None, and (b) HLO cost
+                analysis counts a while/scan body ONCE regardless of trip
+                count, so a K-step program undercounts by ~K.  The K=1 step
+                is the same per-step math; lowering compiles/executes
+                nothing.
+                """
                 try:
-                    ca = lowered.cost_analysis()
+                    batch = {"rays": jax.ShapeDtypeStruct(
+                                 (batch_size, 8), jnp.float32),
+                             "ts": jax.ShapeDtypeStruct(
+                                 (batch_size,), jnp.int32),
+                             "rgbs": jax.ShapeDtypeStruct(
+                                 (batch_size, 3), jnp.float32)}
+                    item = (batch, jax.ShapeDtypeStruct((2,), jnp.uint32))
+                    opt0 = jax.eval_shape(tx.init, params0)
+                    low = make_runner(1).lower(params0, opt0, item,
+                                               backend="cpu")
+                    ca = low.cost_analysis()
                     if isinstance(ca, (list, tuple)):
                         ca = ca[0]
                     return float(ca.get("flops", 0)) or None
@@ -627,9 +649,6 @@ def main():
             if data_path == "device_pool":
                 steps_per_group = spe_pool
                 n_groups = max(1, 64 // spe_pool)
-                flops_group = _flops(stepP.lower(
-                    paramsP, opt_stateP, pool, perm, jnp.int32(0),
-                    jnp.uint32(0), n_steps_j, lr, ep, key))
                 with jax.profiler.trace(trace_dir):
                     for g in range(n_groups):
                         paramsP, opt_stateP, m = stepP(
@@ -642,8 +661,6 @@ def main():
                 runner = run1 if spe_win == 1 else runk
                 steps_per_group = spe_win
                 n_groups = max(1, 24 // spe_win)
-                flops_group = _flops(runner.lower(
-                    params, opt_state, get_group(10 ** 6, spe_win)))
                 with jax.profiler.trace(trace_dir):
                     for g in range(n_groups):
                         params, opt_state, m = runner(
@@ -659,8 +676,8 @@ def main():
                     res["device_step_ms"] / res["wall_step_ms"], 3)
                 _progress(f"stage 4: device {res['device_step_ms']} ms/step "
                           f"({res['device_frac_of_wall']:.0%} of wall)")
-            if flops_group:
-                flops_step = flops_group / steps_per_group
+            flops_step = _flops_per_step()
+            if flops_step:
                 res["flops_per_step_est"] = round(flops_step)
                 if jax.devices()[0].platform != "cpu" and \
                         res.get("device_step_ms"):
